@@ -1,0 +1,94 @@
+"""Joint pose-graph problem: assembly of the block-tridiagonal normal
+equations from odometry + human factors, plus cost evaluation.
+
+This is the device-side replacement for the reference's Ceres problem build
+(JointOptimization.cpp AddOdometryConstraints :736-825, AddHumanConstraints
+:969-1054, SolveHumanConstraints :1064-1138). The first pose is gauge-fixed
+(problem->SetParameterBlockConstant(&pose_array_[0]), :824) by zeroing its
+couplings and pinning its diagonal block to identity.
+
+Cost convention matches Ceres: total cost = 0.5 * sum(r_i^2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import ConstraintTable
+from ..ops import residuals as res
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class JointProblem:
+    """All factor constants for one solve, fixed at build time."""
+
+    odom: res.OdometryFactors
+    human: res.HumanFactors
+    num_poses: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def build_problem(poses: Array, table: ConstraintTable) -> JointProblem:
+    return JointProblem(
+        odom=res.build_odometry_factors(poses),
+        human=res.build_human_factors(poses, table),
+        num_poses=poses.shape[0],
+    )
+
+
+def cost(problem: JointProblem, poses: Array) -> Array:
+    """0.5 * sum of squared residuals.
+
+    XLA's tree reduction keeps the f32 sum accurate to ~eps*log(n), which is
+    what makes the Ceres-style relative function tolerance usable at f32.
+    (f64 is avoided: on the target TPU it is emulated and pathologically slow
+    to compile.)
+    """
+    r_o = res.odometry_residuals(problem.odom, poses)
+    r_h = res.human_residuals(problem.human, poses)
+    return 0.5 * (jnp.sum(r_o * r_o) + jnp.sum(r_h * r_h))
+
+
+def normal_equations(
+    problem: JointProblem, poses: Array
+) -> tuple[Array, Array, Array, Array]:
+    """Assemble H (block-tridiag: D [P,3,3], U [P-1,3,3]), gradient g = J^T r
+    [P,3], and the cost — one fused pass over all factors.
+
+    Gauge fixing of pose 0: its row/col couplings are zeroed and D[0] = I,
+    g[0] = 0, so the solve leaves pose 0 untouched.
+    """
+    P = problem.num_poses
+    r_o = res.odometry_residuals(problem.odom, poses)        # [F,3]
+    J1, J2 = res.odometry_jacobians(problem.odom, poses)     # [F,3,3] each
+    r_h = res.human_residuals(problem.human, poses)          # [C,3]
+    Jh = res.human_jacobians(problem.human)                  # [C,3,3]
+
+    J1T, J2T = jnp.swapaxes(J1, -1, -2), jnp.swapaxes(J2, -1, -2)
+    D = jnp.zeros((P, 3, 3), poses.dtype)
+    D = D.at[:-1].add(J1T @ J1)
+    D = D.at[1:].add(J2T @ J2)
+    U = J1T @ J2                                             # couples (i-1, i)
+
+    g = jnp.zeros((P, 3), poses.dtype)
+    g = g.at[:-1].add((J1T @ r_o[..., None])[..., 0])
+    g = g.at[1:].add((J2T @ r_o[..., None])[..., 0])
+
+    JhT = jnp.swapaxes(Jh, -1, -2)
+    D = D.at[problem.human.pose_idx].add(JhT @ Jh)
+    g = g.at[problem.human.pose_idx].add((JhT @ r_h[..., None])[..., 0])
+
+    # gauge fix pose 0
+    eye = jnp.eye(3, dtype=poses.dtype)
+    D = D.at[0].set(eye)
+    U = U.at[0].set(0.0)
+    g = g.at[0].set(0.0)
+
+    c = 0.5 * (jnp.sum(r_o * r_o) + jnp.sum(r_h * r_h))
+    return D, U, g, c

@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hitl_slam_tpu.core.state import ConstraintTable, CorrectionType
+from hitl_slam_tpu.ops import residuals as res
+
+
+def _rand_poses(rng, n):
+    p = rng.normal(size=(n, 3)).astype(np.float32)
+    p[:, :2] *= 5.0
+    return jnp.asarray(p)
+
+
+def test_odometry_residual_zero_at_build_poses(rng):
+    poses = _rand_poses(rng, 12)
+    f = res.build_odometry_factors(poses)
+    r = res.odometry_residuals(f, poses)
+    # f32 roundoff is amplified by 1/sigma (33-100x); 5e-4 ~= eps * |p| / 0.03
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=5e-4)
+
+
+def test_odometry_jacobian_matches_autodiff(rng):
+    poses = _rand_poses(rng, 8)
+    f = res.build_odometry_factors(poses)
+    # perturb so residuals are nonzero and jacobian is generic
+    poses_p = poses + jnp.asarray(rng.normal(size=poses.shape).astype(np.float32)) * 0.1
+
+    J1, J2 = res.odometry_jacobians(f, poses_p)
+
+    def r_fn(flat):
+        return res.odometry_residuals(f, flat.reshape(poses_p.shape)).reshape(-1)
+
+    J_full = jax.jit(jax.jacfwd(r_fn))(poses_p.reshape(-1))  # [3F, 3P]
+    # analytic == autodiff exactly in f64; at f32 the autodiff path itself
+    # carries ~1e-3 relative noise through the scaled rotations, so compare
+    # with commensurate tolerances.
+    F = poses_p.shape[0] - 1
+    for i in range(F):
+        rows = slice(3 * i, 3 * i + 3)
+        np.testing.assert_allclose(
+            np.asarray(J_full[rows, 3 * i : 3 * i + 3]), np.asarray(J1[i]),
+            rtol=5e-3, atol=5e-3, err_msg=f"J1 factor {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(J_full[rows, 3 * i + 3 : 3 * i + 6]), np.asarray(J2[i]),
+            rtol=5e-3, atol=5e-3, err_msg=f"J2 factor {i}",
+        )
+
+
+def _table_with(entries):
+    t = ConstraintTable.empty(8)
+    for k, (ct, c, a, dpar, dperp, dth, pen) in enumerate(entries):
+        t = ConstraintTable(
+            ctype=t.ctype.at[k].set(int(ct)),
+            constrained=t.constrained.at[k].set(c),
+            anchor=t.anchor.at[k].set(a),
+            delta_parallel=t.delta_parallel.at[k].set(dpar),
+            delta_perpendicular=t.delta_perpendicular.at[k].set(dperp),
+            delta_angle=t.delta_angle.at[k].set(dth),
+            penalty_dir=t.penalty_dir.at[k].set(pen),
+            active=t.active.at[k].set(True),
+        )
+    return t
+
+
+def test_human_factors_all_types_match_autodiff(rng):
+    poses = _rand_poses(rng, 6)
+    table = _table_with([
+        (CorrectionType.LINE_SEGMENT, 3, 0, 1.0, -0.5, 0.2, 0.0),
+        (CorrectionType.COLINEAR, 4, 1, 0.3, 0.7, -0.1, 0.9),
+        (CorrectionType.PERPENDICULAR, 5, 0, 0.0, 0.0, 1.1, 0.0),
+        (CorrectionType.PARALLEL, 2, 1, 0.0, 0.0, -0.4, 0.0),
+    ])
+    f = res.build_human_factors(poses, table)
+    poses_p = poses + 0.05 * jnp.asarray(
+        rng.normal(size=poses.shape).astype(np.float32))
+    r = res.human_residuals(f, poses_p)
+    J = res.human_jacobians(f)
+
+    # residual structure: colocation has 3 nonzero rows, colinear 2, angle 1
+    assert np.count_nonzero(np.asarray(r[0])) == 3
+    assert np.count_nonzero(np.asarray(r[1])) == 2
+    assert np.count_nonzero(np.asarray(r[2])) == 1
+    assert np.count_nonzero(np.asarray(r[3])) == 1
+    # inactive rows are exactly zero
+    np.testing.assert_array_equal(np.asarray(r[4:]), 0.0)
+
+    # jacobian vs autodiff, per constrained pose
+    for k in range(4):
+        c = int(np.asarray(f.pose_idx[k]))
+
+        def rk(q, c=c, k=k):
+            ps = poses_p.at[c].set(q)
+            return res.human_residuals(f, ps)[k]
+
+        Jk = jax.jacfwd(rk)(poses_p[c])
+        np.testing.assert_allclose(np.asarray(Jk), np.asarray(J[k]), atol=1e-5)
+
+
+def test_human_target_semantics(rng):
+    # colocation: residual vanishes when constrained pose sits exactly at
+    # anchor + delta in the anchor frame
+    poses = _rand_poses(rng, 4)
+    dpar, dperp, dth = 0.8, -0.2, 0.3
+    table = _table_with([(CorrectionType.LINE_SEGMENT, 2, 1, dpar, dperp, dth, 0.0)])
+    f = res.build_human_factors(poses, table)
+    a = np.asarray(poses[1])
+    ca, sa = np.cos(a[2]), np.sin(a[2])
+    target_xy = a[:2] + dpar * np.array([ca, sa]) + dperp * np.array([-sa, ca])
+    target_th = np.arctan2(np.sin(a[2] + dth), np.cos(a[2] + dth))
+    poses_sat = poses.at[2].set(jnp.asarray([*target_xy, target_th]))
+    r = res.human_residuals(f, poses_sat)
+    np.testing.assert_allclose(np.asarray(r[0]), 0.0, atol=1e-5)

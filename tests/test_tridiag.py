@@ -1,0 +1,65 @@
+import jax.numpy as jnp
+import numpy as np
+
+from hitl_slam_tpu.solver.tridiag import bcr_solve, inv3, thomas_solve
+
+
+def _random_spd_tridiag(rng, n):
+    """Random symmetric positive-definite block-tridiagonal system."""
+    U = rng.normal(size=(n - 1, 3, 3)).astype(np.float64) * 0.3
+    D = np.zeros((n, 3, 3))
+    for i in range(n):
+        A = rng.normal(size=(3, 3))
+        D[i] = A @ A.T + 4.0 * np.eye(3)  # diagonally dominant -> SPD overall
+    b = rng.normal(size=(n, 3)).astype(np.float64)
+    return D, U, b
+
+
+def _dense(D, U):
+    n = D.shape[0]
+    H = np.zeros((3 * n, 3 * n))
+    for i in range(n):
+        H[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] = D[i]
+        if i + 1 < n:
+            H[3 * i : 3 * i + 3, 3 * i + 3 : 3 * i + 6] = U[i]
+            H[3 * i + 3 : 3 * i + 6, 3 * i : 3 * i + 3] = U[i].T
+    return H
+
+
+def test_inv3(rng):
+    m = rng.normal(size=(10, 3, 3))
+    m = m @ np.swapaxes(m, -1, -2) + 3 * np.eye(3)
+    out = np.asarray(inv3(jnp.asarray(m, jnp.float32)))
+    expected = np.linalg.inv(m)
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_thomas_matches_dense(rng):
+    for n in (2, 3, 5, 17):
+        D, U, b = _random_spd_tridiag(rng, n)
+        x_ref = np.linalg.solve(_dense(D, U), b.reshape(-1)).reshape(n, 3)
+        x = np.asarray(
+            thomas_solve(jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+                         jnp.asarray(b, jnp.float32))
+        )
+        np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_bcr_matches_dense(rng):
+    for n in (1, 2, 3, 4, 7, 8, 33, 100):
+        D, U, b = _random_spd_tridiag(rng, n)
+        x_ref = np.linalg.solve(_dense(D, U), b.reshape(-1)).reshape(n, 3)
+        x = np.asarray(
+            bcr_solve(jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+                      jnp.asarray(b, jnp.float32))
+        )
+        np.testing.assert_allclose(x, x_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_bcr_matches_thomas_large(rng):
+    n = 257
+    D, U, b = _random_spd_tridiag(rng, n)
+    Dj, Uj, bj = (jnp.asarray(a, jnp.float32) for a in (D, U, b))
+    x1 = np.asarray(thomas_solve(Dj, Uj, bj))
+    x2 = np.asarray(bcr_solve(Dj, Uj, bj))
+    np.testing.assert_allclose(x1, x2, rtol=3e-3, atol=3e-3)
