@@ -1,0 +1,219 @@
+"""EM interpretation of the human's sketched corrections.
+
+TPU redesign of the reference's EMInput stage (EMinput.cpp):
+
+  - `verify_input`       0.05 m proximity check of every clicked point against
+                         the world-frame map (HitLSLAM.cpp:218-243) — one
+                         masked distance reduction instead of a triple loop.
+  - `endpoint_adjust`    AutomaticEndpointAdjustment (EMinput.cpp:199-248):
+                         the repeat-until-stable loop over {gather inliers
+                         within 0.03 m, 1-parameter orientation re-fit about
+                         the fixed midpoint}. The Ceres DENSE_QR fit
+                         (SegFitEM, :152-191) becomes 25 Gauss-Newton steps on
+                         the exact clamped point-to-segment objective with a
+                         closed-form dtheta derivative, batched over ALL map
+                         points with masks — no per-inlier gather.
+  - `observation_counts` EstablishObservationSets (:281-323): per-pose inlier
+                         counts for each selection (participation = count > 5).
+  - `order_and_filter`   OrderAndFilterUserInput (:325-455): the branchy
+                         overlap-dedup / reorder / backprop-bounds logic —
+                         tiny and data-dependent, so it runs on host numpy.
+
+Deviation (documented): the reference initializes the 1-param fit at
+theta0 = acos(|dx|/len) (EMinput.cpp:163-166), discarding the segment's
+orientation sign; we initialize at atan2(dy, dx), which starts the descent at
+the current segment orientation. Same objective, strictly better-conditioned
+start; fixed points agree on all tested inputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...ops.geometry import dist_to_segment
+
+Array = jax.Array
+
+VERIFY_THRESHOLD = 0.05     # m  (HitLSLAM.cpp:221)
+INLIER_THRESHOLD = 0.03     # m  (EMinput.cpp:206, :287)
+ENDPOINT_STABLE = 0.05      # m  (EMinput.cpp:201-203)
+MIN_POSE_INLIERS = 5        # strictly-greater gate (EMinput.cpp:303-310)
+SEGFIT_ITERS = 25           # Ceres max_num_iterations (EMinput.cpp:174)
+MAX_ADJUST_ROUNDS = 32      # safety bound on the outer while loop
+
+
+@partial(jax.jit, static_argnames=())
+def verify_input(world_pts: Array, mask: Array, selected: Array) -> Array:
+    """For each of the K selected points, is some map point within 0.05 m?
+
+    world_pts: [P, N, 2], mask: [P, N], selected: [K, 2] -> [K] bool.
+    """
+    d2 = jnp.sum(
+        (world_pts[None] - selected[:, None, None, :]) ** 2, axis=-1
+    )  # [K, P, N]
+    d2 = jnp.where(mask[None], d2, jnp.inf)
+    return jnp.min(d2, axis=(1, 2)) < VERIFY_THRESHOLD**2
+
+
+def _segfit_theta(pts: Array, w: Array, cm: Array, half_len: Array,
+                  theta0: Array) -> Array:
+    """25 GN steps on theta for the fixed-center, fixed-length segment fit.
+
+    Minimizes sum_i w_i * dist(p_i, seg(theta))^2 where
+    seg(theta) = [cm - L a, cm + L a], a = (cos theta, sin theta).
+    Closed-form derivative; clamped ends handled exactly.
+    """
+
+    def body(_, theta):
+        a = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+        n = jnp.stack([-a[1], a[0]])
+        rel = pts - cm                       # [M, 2]
+        t = rel @ a                          # signed along-axis coord
+        perp = rel @ n
+        interior = jnp.abs(t) <= half_len
+        # interior: d = perp, dd/dtheta = -t ... derivative of (rel . n):
+        #   dn/dtheta = -a, so d(perp)/dtheta = rel . (-a) = -t
+        d_int = perp
+        j_int = -t
+        # beyond +L end: d = |rel - L a|, dd/dtheta = (rel-La)/d . (L n)
+        e_pos = rel - half_len * a
+        d_pos = jnp.linalg.norm(e_pos, axis=-1)
+        j_pos = (e_pos @ n) * half_len / jnp.maximum(d_pos, 1e-9)
+        # beyond -L end
+        e_neg = rel + half_len * a
+        d_neg = jnp.linalg.norm(e_neg, axis=-1)
+        j_neg = -(e_neg @ n) * half_len / jnp.maximum(d_neg, 1e-9)
+
+        d = jnp.where(interior, d_int, jnp.where(t > 0, d_pos, d_neg))
+        jac = jnp.where(interior, j_int, jnp.where(t > 0, j_pos, j_neg))
+
+        num = jnp.sum(w * jac * d)
+        den = jnp.sum(w * jac * jac)
+        return theta - num / jnp.maximum(den, 1e-9)
+
+    return lax.fori_loop(0, SEGFIT_ITERS, body, theta0)
+
+
+@jax.jit
+def endpoint_adjust(world_pts: Array, mask: Array, seg: Array) -> Array:
+    """Refit ONE segment seg=[2,2] against the map until its endpoints move
+    less than 0.05 m. Returns the refit [2, 2] endpoints.
+
+    Matches AutomaticEndpointAdjustment: each round gathers inliers within
+    0.03 m of the *current* segment, then re-fits orientation about the
+    round's inlier-centroid-independent midpoint (the reference fits about
+    the segment midpoint with fixed half-length; so do we).
+    """
+    flat = world_pts.reshape(-1, 2)
+    fmask = mask.reshape(-1)
+
+    def cond(state):
+        _, moved, it = state
+        return (moved > ENDPOINT_STABLE) & (it < MAX_ADJUST_ROUNDS)
+
+    def body(state):
+        s, _, it = state
+        p1, p2 = s[0], s[1]
+        d = dist_to_segment(p1, p2, flat)
+        w = (fmask & (d < INLIER_THRESHOLD)).astype(flat.dtype)
+        cm = 0.5 * (p1 + p2)
+        delta = p1 - p2            # axis oriented cm -> p1 so endpoint
+        half_len = 0.5 * jnp.linalg.norm(delta)  # pairing stays stable
+        theta0 = jnp.arctan2(delta[1], delta[0])
+        theta = _segfit_theta(flat, w, cm, half_len, theta0)
+        a = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+        new1 = cm + half_len * a
+        new2 = cm - half_len * a
+        # endpoint pairing follows the reference (SegFitEM returns cm+La as
+        # endpoint 1); movement is measured per endpoint
+        moved = jnp.maximum(
+            jnp.linalg.norm(new1 - p1), jnp.linalg.norm(new2 - p2)
+        )
+        return jnp.stack([new1, new2]), moved, it + 1
+
+    out, _, _ = lax.while_loop(
+        cond, body, (seg, jnp.asarray(jnp.inf, seg.dtype), 0)
+    )
+    return out
+
+
+@jax.jit
+def observation_counts(world_pts: Array, mask: Array, sel: Array) -> tuple[Array, Array]:
+    """Per-pose inlier counts against the two refit selections.
+
+    world_pts [P,N,2], sel [4,2] -> (count_first [P], count_second [P]).
+    """
+    d1 = dist_to_segment(sel[0], sel[1], world_pts)
+    d2 = dist_to_segment(sel[2], sel[3], world_pts)
+    c1 = jnp.sum((d1 < INLIER_THRESHOLD) & mask, axis=1)
+    c2 = jnp.sum((d2 < INLIER_THRESHOLD) & mask, axis=1)
+    return c1, c2
+
+
+@dataclass
+class OrderedSelection:
+    """Host-side result of order_and_filter."""
+
+    corrected_poses: np.ndarray   # ascending pose ids (first selection)
+    anchor_poses: np.ndarray      # ascending pose ids (second selection)
+    selected_points: np.ndarray   # [4,2], possibly swapped so anchors second
+    backprop_start: int
+    backprop_end: int
+
+    @property
+    def valid(self) -> bool:
+        return self.backprop_start >= 0 and self.backprop_end >= 1
+
+
+def order_and_filter(
+    count_first: np.ndarray, count_second: np.ndarray, selected: np.ndarray
+) -> OrderedSelection:
+    """Replicates OrderAndFilterUserInput (EMinput.cpp:325-455).
+
+    - participation gate: count > 5
+    - overlap poses are removed from one or both sides
+    - if the first selection covers LATER poses than the second, it is the
+      corrected set and the second anchors; otherwise the roles (and the
+      selected-point pairs) are swapped
+    - backprop bounds = open interval between anchor max and corrected min.
+    """
+    first = np.nonzero(count_first > MIN_POSE_INLIERS)[0]
+    second = np.nonzero(count_second > MIN_POSE_INLIERS)[0]
+    sel = selected.copy()
+
+    invalid = OrderedSelection(first, second, sel, -1, -1)
+    if len(first) == 0 or len(second) == 0:
+        return invalid
+
+    overlap = np.intersect1d(first, second)
+    if len(overlap) == len(first) and len(overlap) == len(second):
+        return invalid  # complete overlap
+    elif len(overlap) == len(first):
+        second = np.setdiff1d(second, overlap)
+    elif len(overlap) == len(second):
+        first = np.setdiff1d(first, overlap)
+    elif len(overlap) > 0:
+        first = np.setdiff1d(first, overlap)
+        second = np.setdiff1d(second, overlap)
+
+    if len(first) == 0 or len(second) == 0:
+        return invalid
+
+    if first.min() > second.max():
+        corrected, anchors = first, second
+        bp = (int(second.max()) + 1, int(first.min()) - 1)
+    elif first.max() < second.min():
+        # user drew in the "wrong" order: swap pair roles
+        sel = np.concatenate([selected[2:4], selected[0:2]], axis=0)
+        corrected, anchors = second, first
+        bp = (int(first.max()) + 1, int(second.min()) - 1)
+    else:
+        return invalid  # interleaved selections
+
+    return OrderedSelection(corrected, anchors, sel, bp[0], bp[1])

@@ -1,0 +1,294 @@
+"""HitLSLAM session orchestrator (host side).
+
+The stateful shell around the device pipeline, mirroring the reference's
+HitLSLAM class surface (HitLSLAM.h:18-34): init / Run / replayLog /
+addCorrectionPoints / undo / getPoses / getCovariances / getWorldFrameScans /
+getInputHistory — plus the same single-depth undo snapshot semantics
+(HitLSLAM.cpp:262-276) and the pending-correction two-click state machine
+(:151-216, keyed on the GUI modifier bitmask cast to CorrectionType).
+
+Division of labor per the TPU-first design: everything numeric runs in two
+jitted programs (`em` kernels + `repair_step`); this class only holds state,
+runs the tiny branchy ordering logic on host numpy, and manages the
+constraint-table write cursor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.state import (
+    ConstraintTable,
+    CorrectionType,
+    MapState,
+    SingleInput,
+    make_map_state,
+)
+from ...solver.lm import LMConfig
+from ...utils.timing import FunctionTimer
+from . import em_input
+from .repair import repair_step
+
+# static pad sizes for the (anchor, corrected) pair grid; typical selections
+# touch O(10) poses each (see EstablishObservationSets' >5-inlier gate)
+MAX_ANCHORS = 64
+MAX_CORRECTED = 64
+
+
+@dataclass
+class CycleReport:
+    """What happened in one Run()/replay cycle (observability surface)."""
+
+    accepted: bool
+    reason: str = ""
+    points_verified: int = 0
+    num_new_constraints: int = 0
+    lm_iterations: int = 0
+    initial_cost: float = 0.0
+    final_cost: float = 0.0
+    timings_ms: dict = field(default_factory=dict)
+
+
+class HitLSLAM:
+    """One interactive map-repair session."""
+
+    def __init__(self, lm_config: LMConfig = LMConfig()):
+        self.lm_config = lm_config
+        self.state: MapState | None = None
+        self.prev_poses = None
+        self.prev_covariances = None
+        self.prev_num_constraints = 0
+        self.num_constraints = 0
+        self.input_history: list[SingleInput] = []
+        self.num_completed_cycles = 0
+        # pending-correction state machine
+        self.selected_points: list[np.ndarray] = []
+        self.pending_type = CorrectionType.UNKNOWN
+        self.correction_type = CorrectionType.UNKNOWN
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init(self, poses, covariances, point_clouds, normal_clouds,
+             odometry=None, constraint_capacity: int = 8192):
+        self.state = make_map_state(
+            np.asarray(poses), np.asarray(covariances), point_clouds,
+            normal_clouds, odometry=odometry,
+            constraint_capacity=constraint_capacity,
+        )
+        self.prev_poses = self.state.poses
+        self.prev_covariances = self.state.covariances
+
+    def init_from_state(self, state: MapState):
+        self.state = state
+        self.prev_poses = state.poses
+        self.prev_covariances = state.covariances
+
+    # -- getters (reference API surface) -----------------------------------
+
+    def get_poses(self) -> np.ndarray:
+        return np.asarray(self.state.poses)
+
+    def get_covariances(self) -> np.ndarray:
+        return np.asarray(self.state.covariances)
+
+    def get_world_frame_scans(self) -> np.ndarray:
+        return np.asarray(self.state.world_points())
+
+    def get_input_history(self) -> list[SingleInput]:
+        return self.input_history
+
+    # -- correction input state machine ------------------------------------
+
+    def is_valid_correction_type(self, t: CorrectionType) -> bool:
+        return t in (
+            CorrectionType.POINT, CorrectionType.LINE_SEGMENT,
+            CorrectionType.COLINEAR, CorrectionType.PERPENDICULAR,
+            CorrectionType.PARALLEL,
+        )
+
+    def add_correction_points(self, modifiers: int, mouse_down, mouse_up):
+        """Two drags select the two segments; the modifier bitmask IS the
+        correction type (HitLSLAM.cpp:151-216)."""
+        ctype = (
+            CorrectionType(modifiers)
+            if modifiers in set(int(t) for t in CorrectionType)
+            else CorrectionType.UNKNOWN
+        )
+        if ctype == CorrectionType.UNKNOWN:
+            return
+        mouse_down = np.asarray(mouse_down, np.float32)
+        mouse_up = np.asarray(mouse_up, np.float32)
+        if ctype != self.pending_type and self.is_valid_correction_type(ctype):
+            # first drag of a new correction
+            self.selected_points = [mouse_down]
+            if ctype != CorrectionType.POINT:
+                self.selected_points.append(mouse_up)
+            self.pending_type = ctype
+        else:
+            # second drag completes the pair
+            self.selected_points.append(mouse_down)
+            if ctype != CorrectionType.POINT:
+                self.selected_points.append(mouse_up)
+            self.correction_type = ctype
+            self.pending_type = CorrectionType.UNKNOWN
+
+    def reset_correction_inputs(self):
+        self.selected_points = []
+        self.pending_type = CorrectionType.UNKNOWN
+        self.correction_type = CorrectionType.UNKNOWN
+
+    # -- undo --------------------------------------------------------------
+
+    def undo(self) -> bool:
+        """Single-depth undo (HitLSLAM.cpp:262-276): restore pose/covariance
+        snapshot and deactivate the last correction's constraint rows."""
+        if not self.input_history:
+            return False
+        if self.input_history[-1].undone:
+            return False
+        st = self.state
+        # deactivate rows added by the last cycle
+        active = np.array(st.constraints.active)  # writable copy
+        active[self.prev_num_constraints : self.num_constraints] = False
+        table = ConstraintTable(
+            ctype=st.constraints.ctype,
+            constrained=st.constraints.constrained,
+            anchor=st.constraints.anchor,
+            delta_parallel=st.constraints.delta_parallel,
+            delta_perpendicular=st.constraints.delta_perpendicular,
+            delta_angle=st.constraints.delta_angle,
+            penalty_dir=st.constraints.penalty_dir,
+            active=jnp.asarray(active),
+        )
+        self.state = MapState(
+            poses=self.prev_poses,
+            covariances=self.prev_covariances,
+            points=st.points, normals=st.normals, point_mask=st.point_mask,
+            odometry=st.odometry, constraints=table,
+        )
+        self.num_constraints = self.prev_num_constraints
+        self.input_history[-1].undone = 1
+        return True
+
+    # -- the correction cycle ----------------------------------------------
+
+    def run(self) -> CycleReport:
+        """Execute one full correction cycle from the pending user input
+        (HitLSLAM::Run, HitLSLAM.cpp:379-484)."""
+        if (
+            not self.selected_points
+            or self.pending_type != CorrectionType.UNKNOWN
+        ):
+            self.reset_correction_inputs()
+            return CycleReport(False, "incomplete correction specification")
+        sel = np.stack(self.selected_points).astype(np.float32)
+        ctype = self.correction_type
+        report = self._cycle(ctype, sel, record_history=True)
+        self.reset_correction_inputs()
+        return report
+
+    def replay_log(self, logged: SingleInput) -> CycleReport:
+        """Re-execute one logged correction (HitLSLAM::replayLog)."""
+        report = self._cycle(
+            logged.correction_type,
+            np.asarray(logged.points, np.float32),
+            record_history=False,
+        )
+        self.reset_correction_inputs()
+        return report
+
+    def _cycle(self, ctype: CorrectionType, sel: np.ndarray,
+               record_history: bool) -> CycleReport:
+        st = self.state
+        timer = FunctionTimer("cycle")
+        if sel.shape[0] != 4:
+            return CycleReport(False, f"unsupported selection shape {sel.shape}")
+        if np.allclose(sel[0], sel[1]) or np.allclose(sel[2], sel[3]):
+            return CycleReport(False, "degenerate selection")
+
+        world = st.world_points()
+        verified = np.asarray(
+            em_input.verify_input(world, st.point_mask, jnp.asarray(sel))
+        )
+        timer.lap("verify")
+        if not verified.all():
+            self.num_completed_cycles += 1
+            return CycleReport(
+                False, "input not verified near observations",
+                points_verified=int(verified.sum()),
+            )
+
+        if record_history:
+            self.input_history.append(SingleInput(ctype, 0, sel.copy()))
+
+        # EM: refit both sketched segments against the map
+        seg_a = em_input.endpoint_adjust(world, st.point_mask, jnp.asarray(sel[0:2]))
+        seg_b = em_input.endpoint_adjust(world, st.point_mask, jnp.asarray(sel[2:4]))
+        refit = jnp.concatenate([seg_a, seg_b], axis=0)
+        c1, c2 = em_input.observation_counts(world, st.point_mask, refit)
+        timer.lap("em_fit")
+
+        ordered = em_input.order_and_filter(
+            np.asarray(c1), np.asarray(c2), np.asarray(refit)
+        )
+        timer.lap("order")
+        if not ordered.valid:
+            self.num_completed_cycles += 1
+            return CycleReport(False, "selection overlap / no backprop window",
+                               points_verified=int(verified.sum()))
+
+        # snapshot for undo
+        self.prev_poses = st.poses
+        self.prev_covariances = st.covariances
+        self.prev_num_constraints = self.num_constraints
+
+        # first contiguous corrected group + tail info (host, tiny)
+        corrected = ordered.corrected_poses
+        breaks = np.nonzero(np.diff(corrected) > 1)[0]
+        group_end = breaks[0] if len(breaks) else len(corrected) - 1
+        group = corrected[: group_end + 1]
+        group_mask = np.zeros(st.num_poses, bool)
+        group_mask[group] = True
+        last_pose = int(group[-1])
+
+        anchor_idx = np.full(MAX_ANCHORS, -1, np.int32)
+        k = min(len(ordered.anchor_poses), MAX_ANCHORS)
+        anchor_idx[:k] = ordered.anchor_poses[:k]
+        corr_idx = np.full(MAX_CORRECTED, -1, np.int32)
+        k = min(len(corrected), MAX_CORRECTED)
+        corr_idx[:k] = corrected[:k]
+
+        out = repair_step(
+            st.poses, st.covariances, st.constraints,
+            jnp.asarray(int(ctype), jnp.int32),
+            jnp.asarray(ordered.selected_points),
+            jnp.asarray(group_mask),
+            jnp.asarray(last_pose, jnp.int32),
+            jnp.asarray(anchor_idx), jnp.asarray(corr_idx),
+            jnp.asarray(ordered.backprop_start, jnp.int32),
+            jnp.asarray(ordered.backprop_end, jnp.int32),
+            jnp.asarray(self.num_constraints, jnp.int32),
+            lm_config=self.lm_config,
+        )
+        out.poses.block_until_ready()
+        timer.lap("repair_step")
+
+        self.num_constraints += int(out.num_new_constraints)
+        self.state = MapState(
+            poses=out.poses, covariances=out.covariances,
+            points=st.points, normals=st.normals, point_mask=st.point_mask,
+            odometry=st.odometry, constraints=out.constraints,
+        )
+        self.num_completed_cycles += 1
+        return CycleReport(
+            True,
+            points_verified=int(verified.sum()),
+            num_new_constraints=int(out.num_new_constraints),
+            lm_iterations=int(out.lm.iterations),
+            initial_cost=float(out.lm.initial_cost),
+            final_cost=float(out.lm.final_cost),
+            timings_ms=timer.laps_ms(),
+        )

@@ -1,0 +1,148 @@
+"""End-to-end repair-cycle tests on the synthetic drifted figure-8 map.
+
+These exercise the full reference flow (SURVEY.md section 3.2): verify ->
+EM refit -> order/filter -> explicit -> backprop -> joint LM solve, via the
+session engine — the TPU analog of replaying a correction log.
+"""
+
+import numpy as np
+import pytest
+
+from hitl_slam_tpu.core.state import CorrectionType, SingleInput
+from hitl_slam_tpu.io.figure8 import generate_figure8
+from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+
+def _wall_points_world(m, pose_range, wall_y=0.0, tol=0.25):
+    """Drifted world-frame positions of points that in GT lie on the bottom
+    wall, for poses in pose_range. Returns [K,2] plus per-pose counts."""
+    pts, counts = [], []
+    for i in pose_range:
+        gt = m.gt_poses[i]
+        c, s = np.cos(gt[2]), np.sin(gt[2])
+        Rg = np.array([[c, -s], [s, c]])
+        world_gt = m.point_clouds[i] @ Rg.T + gt[:2]
+        on_wall = np.abs(world_gt[:, 1] - wall_y) < tol
+        dp = m.poses[i]
+        c2, s2 = np.cos(dp[2]), np.sin(dp[2])
+        Rd = np.array([[c2, -s2], [s2, c2]])
+        world_drift = m.point_clouds[i][on_wall] @ Rd.T + dp[:2]
+        pts.append(world_drift)
+        counts.append(int(on_wall.sum()))
+    return np.concatenate(pts, axis=0), counts
+
+
+def _fit_segment(pts):
+    """PCA segment through a point blob, endpoints snapped to the nearest
+    actual points (a human clicks on rendered observations)."""
+    cm = pts.mean(axis=0)
+    u, s, vt = np.linalg.svd(pts - cm, full_matrices=False)
+    d = vt[0]
+    t = (pts - cm) @ d
+    lo, hi = np.quantile(t, 0.02), np.quantile(t, 0.98)
+    ends = np.stack([cm + lo * d, cm + hi * d])
+    snapped = np.stack(
+        [pts[np.argmin(np.linalg.norm(pts - e, axis=1))] for e in ends]
+    )
+    return snapped.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def drifted_map():
+    return generate_figure8(num_poses=96, num_rays=120, seed=5,
+                            drift_theta_bias=8e-4)
+
+
+@pytest.fixture()
+def session(drifted_map):
+    m = drifted_map
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             odometry=m.odometry, constraint_capacity=1024)
+    return eng
+
+
+def _make_correction(m, ctype):
+    """Draw the late appearance of the bottom wall (corrected, first pair)
+    and the early appearance (anchor, second pair)."""
+    late, late_counts = _wall_points_world(m, range(60, 96))
+    early, early_counts = _wall_points_world(m, range(0, 30))
+    assert len(late) > 50 and len(early) > 50
+    seg_late = _fit_segment(late)
+    seg_early = _fit_segment(early)
+    sel = np.concatenate([seg_late, seg_early], axis=0)
+    return SingleInput(ctype, 0, sel)
+
+
+def test_colinear_correction_cycle(session, drifted_map):
+    m = drifted_map
+    inp = _make_correction(m, CorrectionType.COLINEAR)
+    report = session.replay_log(inp)
+    assert report.accepted, report.reason
+    assert report.num_new_constraints > 0
+    assert report.final_cost < report.initial_cost
+    poses = session.get_poses()
+    assert poses.shape == m.poses.shape
+    assert np.isfinite(poses).all()
+    # the corrected late poses should now see the wall more level: spread of
+    # late wall points around the early wall line shrinks vs. before
+    def wall_spread(poses_arr):
+        out = []
+        for i in range(60, 96):
+            gt = m.gt_poses[i]
+            c, s = np.cos(gt[2]), np.sin(gt[2])
+            world_gt = m.point_clouds[i] @ np.array([[c, -s], [s, c]]).T + gt[:2]
+            on_wall = np.abs(world_gt[:, 1]) < 0.25
+            dp = poses_arr[i]
+            c2, s2 = np.cos(dp[2]), np.sin(dp[2])
+            w = m.point_clouds[i][on_wall] @ np.array([[c2, -s2], [s2, c2]]).T + dp[:2]
+            out.append(w)
+        pts = np.concatenate(out, axis=0)
+        return np.std(pts[:, 1])
+
+    before = wall_spread(m.poses)
+    after = wall_spread(poses)
+    assert after < before, (before, after)
+
+
+def test_run_via_click_state_machine(session, drifted_map):
+    """Drive the same correction through addCorrectionPoints + run()."""
+    m = drifted_map
+    inp = _make_correction(m, CorrectionType.COLINEAR)
+    mods = int(CorrectionType.COLINEAR)
+    session.add_correction_points(mods, inp.points[0], inp.points[1])
+    assert session.pending_type == CorrectionType.COLINEAR
+    session.add_correction_points(mods, inp.points[2], inp.points[3])
+    assert session.correction_type == CorrectionType.COLINEAR
+    report = session.run()
+    assert report.accepted, report.reason
+    assert len(session.get_input_history()) == 1
+    # input state machine reset afterwards
+    assert session.pending_type == CorrectionType.UNKNOWN
+    assert session.selected_points == []
+
+
+def test_undo_restores_poses(session, drifted_map):
+    m = drifted_map
+    inp = _make_correction(m, CorrectionType.COLINEAR)
+    session.add_correction_points(int(inp.correction_type), inp.points[0], inp.points[1])
+    session.add_correction_points(int(inp.correction_type), inp.points[2], inp.points[3])
+    before = session.get_poses()
+    report = session.run()
+    assert report.accepted
+    assert not np.allclose(session.get_poses(), before)
+    assert session.undo()
+    np.testing.assert_allclose(session.get_poses(), before, atol=1e-6)
+    # second undo refused (depth 1)
+    assert not session.undo()
+
+
+def test_unverified_input_rejected(session):
+    bogus = SingleInput(
+        CorrectionType.COLINEAR, 0,
+        np.array([[500.0, 500.0], [501.0, 500.0], [500.0, 510.0], [501.0, 510.0]],
+                 np.float32),
+    )
+    report = session.replay_log(bogus)
+    assert not report.accepted
+    assert "not verified" in report.reason
