@@ -1,0 +1,157 @@
+"""Benchmark: full HitL repair iteration on a Figure8-scale map.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms per full repair iteration on TPU>,
+   "unit": "ms", "vs_baseline": <CPU-baseline ms / TPU ms>}
+
+Protocol (mirrors BASELINE.json configs #1/#2): a 2-lap Figure8-scale drifted
+map (~10^3 poses, ~10^5 points); a sequence of mixed human corrections
+(colinear + colocation + parallel) applied through the full pipeline — EM
+segment refit + inlier selection + host ordering + explicit correction +
+covariance backprop + joint LM solve (the reference's whole 'p'-key cycle,
+SURVEY.md section 3.2). Later cycles carry the accumulated constraint graph,
+so the joint solve does real work (the first solve of a session is ~trivial
+by construction — odometry factor targets are rebuilt from current poses,
+exactly as in the reference).
+
+The CPU baseline is the measured vectorized-NumPy/LAPACK-banded-Cholesky LM
+(hitl_slam_tpu/baselines/cpu_lm.py) — the Ceres stand-in mandated by
+BASELINE.md — on the identical final factor graph from the identical starting
+poses, timed on this host.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def correction_specs(P):
+    """A mixed sequence of 'human' corrections between lap 1 and lap 2."""
+    from hitl_slam_tpu.core.state import CorrectionType
+
+    lap = P // 2
+    h = 10.0
+    lap1 = range(0, lap)
+    lap2 = range(lap, P)
+    specs = [
+        # colinear: bottom wall, right-room span, lap2 vs lap1
+        dict(ctype=CorrectionType.COLINEAR, corrected=lap2, anchor=lap1,
+             cw=(1, 0.0), aw=(1, 0.0), cspan=(4.0, 16.0), aspan=(4.0, 16.0)),
+        # perpendicular: late top-left section vs early left wall
+        dict(ctype=CorrectionType.PERPENDICULAR, corrected=lap2, anchor=lap1,
+             cw=(1, h), aw=(0, -20.0), cspan=(-16.0, -4.0), aspan=(2.0, 8.0)),
+        # colocation: left wall, lap2 vs lap1
+        dict(ctype=CorrectionType.LINE_SEGMENT, corrected=lap2, anchor=lap1,
+             cw=(0, -20.0), aw=(0, -20.0), cspan=(2.0, 8.0), aspan=(2.0, 8.0)),
+        # colinear: top wall left span, lap2 vs lap1
+        dict(ctype=CorrectionType.COLINEAR, corrected=lap2, anchor=lap1,
+             cw=(1, h), aw=(1, h), cspan=(-16.0, -4.0), aspan=(-16.0, -4.0)),
+        # parallel: right wall, lap2 vs lap1
+        dict(ctype=CorrectionType.PARALLEL, corrected=lap2, anchor=lap1,
+             cw=(0, 20.0), aw=(0, 20.0), cspan=(2.0, 8.0), aspan=(2.0, 8.0)),
+    ]
+    return specs
+
+
+def main():
+    import jax
+
+    from hitl_slam_tpu.baselines.cpu_lm import cpu_lm_solve
+    from hitl_slam_tpu.core.state import SingleInput
+    from hitl_slam_tpu.io.figure8 import generate_figure8
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    from hitl_slam_tpu.io.figure8 import synthesize_correction
+
+    num_poses = 1024
+    m = generate_figure8(num_poses=num_poses, num_rays=180, seed=7,
+                         drift_theta_bias=6e-4, num_laps=2)
+    total_pts = sum(len(p) for p in m.point_clouds)
+    specs = correction_specs(num_poses)
+
+    def run_session():
+        eng = HitLSLAM()
+        eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+                 odometry=m.odometry)
+        times, reports = [], []
+        for s in specs:
+            # the 'human' sketches on the map as currently repaired
+            try:
+                sel = synthesize_correction(
+                    m, s["corrected"], s["anchor"], s["cw"], s["aw"],
+                    corrected_span=s["cspan"], anchor_span=s["aspan"],
+                    poses=eng.get_poses(),
+                )
+            except ValueError:
+                reports.append(None)
+                continue
+            t0 = time.perf_counter()
+            rep = eng.replay_log(SingleInput(s["ctype"], 0, sel))
+            times.append((time.perf_counter() - t0) * 1e3)
+            reports.append(rep)
+        return eng, times, reports
+
+    # pass 1: compile warmup; pass 2: steady-state timing
+    run_session()
+    eng, times, reports = run_session()
+    reports = [r for r in reports if r is not None]
+    accepted = [r for r in reports if r.accepted]
+    assert len(accepted) >= 3, [r.reason for r in reports]
+    tpu_ms = float(np.median([t for t, r in zip(times, reports) if r.accepted]))
+
+    # CPU baseline on the final accumulated factor graph
+    st = eng.state
+    tbl = st.constraints
+    np_table = dict(
+        ctype=np.asarray(tbl.ctype), constrained=np.asarray(tbl.constrained),
+        anchor=np.asarray(tbl.anchor), dpar=np.asarray(tbl.delta_parallel),
+        dperp=np.asarray(tbl.delta_perpendicular),
+        dth=np.asarray(tbl.delta_angle), pen=np.asarray(tbl.penalty_dir),
+        active=np.asarray(tbl.active),
+    )
+    start_poses = np.asarray(eng.last_pre_solve_poses, np.float64)
+    t0 = time.perf_counter()
+    _, cpu_cost, cpu_iters = cpu_lm_solve(start_poses, np_table)
+    cpu_solve_ms = (time.perf_counter() - t0) * 1e3
+
+    last = accepted[-1]
+    # compare like-for-like: CPU ran only the joint solve; add the measured
+    # device-side non-solve stages to the CPU figure at parity (they are
+    # identical host work in both worlds? no — charge CPU only the solve,
+    # conservative in our disfavor)
+    result = {
+        "metric": (
+            f"ms per full HitL repair iteration (EM+explicit+backprop+LM "
+            f"solve), Figure8-scale {num_poses} poses / {total_pts} points, "
+            f"mixed corrections"
+        ),
+        "value": round(tpu_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(cpu_solve_ms / tpu_ms, 2),
+        "detail": {
+            "backend": jax.default_backend(),
+            "cycle_ms": [round(t, 2) for t in times],
+            "accepted": [r.accepted for r in reports],
+            "stage_ms_last_cycle": {
+                k: round(v, 2) for k, v in last.timings_ms.items()
+            },
+            "lm_iterations": [r.lm_iterations for r in accepted],
+            "final_costs": [r.final_cost for r in accepted],
+            "num_constraints": int(np.asarray(tbl.active).sum()),
+            "cpu_solve_ms": round(cpu_solve_ms, 1),
+            "cpu_iters": cpu_iters,
+            "cpu_final_cost": cpu_cost,
+            "cpu_baseline": "vectorized numpy + LAPACK banded Cholesky LM "
+                            "(Ceres stand-in) on the final factor graph, "
+                            "joint solve only — conservative vs. the full "
+                            "TPU cycle it is compared against",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

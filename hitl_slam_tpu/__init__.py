@@ -27,3 +27,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# The solver's 3x3 block algebra and normal-equation products must run at
+# full f32: TPU's default bf16 matmul precision stalls LM convergence (steps
+# solved from a bf16-rounded Hessian stop decreasing the true cost). These
+# matmuls are tiny — full precision costs nothing.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -43,9 +43,10 @@ def _figure8_walls(w: float = 20.0, h: float = 10.0, gap: float = 1.5) -> np.nda
     return np.array(segs, np.float64)
 
 
-def _figure8_trajectory(num_poses: int, w: float, h: float) -> np.ndarray:
+def _figure8_trajectory(num_poses: int, w: float, h: float,
+                        num_laps: int = 1) -> np.ndarray:
     """Lissajous figure-8 path visiting both rooms, with heading = tangent."""
-    t = np.linspace(0.0, 2.0 * np.pi, num_poses, endpoint=False)
+    t = np.linspace(0.0, num_laps * 2.0 * np.pi, num_poses, endpoint=False)
     m = 0.62
     x = w * m * np.sin(t)
     y = h / 2 + h / 2 * m * np.sin(2.0 * t)
@@ -112,10 +113,11 @@ def generate_figure8(
     seed: int = 0,
     width: float = 20.0,
     height: float = 10.0,
+    num_laps: int = 1,
 ) -> SyntheticMap:
     rng = np.random.default_rng(seed)
     walls = _figure8_walls(width, height)
-    gt = _figure8_trajectory(num_poses, width, height)
+    gt = _figure8_trajectory(num_poses, width, height, num_laps)
 
     # Relative odometry from ground truth, then corrupt + integrate -> drifted
     # poses. Covariances grow with accumulated noise, mimicking the
@@ -164,4 +166,75 @@ def generate_figure8(
         normal_clouds=ncs,
         odometry=odom.astype(np.float32),
         walls=walls,
+    )
+
+
+def wall_points_drifted(
+    m: SyntheticMap, pose_range, axis: int = 1, value: float = 0.0,
+    tol: float = 0.25, span: tuple | None = None,
+    poses: np.ndarray | None = None,
+) -> np.ndarray:
+    """Drifted world-frame positions of points that in GROUND TRUTH lie on the
+    wall {coord[axis] == value}, for poses in pose_range. This is how tests
+    and benches synthesize 'human' sketches: the same physical wall seen at
+    two trajectory epochs, in the drifted frame. `poses` overrides the map's
+    stored (original drifted) poses — pass the session's current estimates to
+    sketch on the map as the user currently sees it."""
+    est = m.poses if poses is None else poses
+    pts = []
+    for i in pose_range:
+        gt = m.gt_poses[i]
+        c, s = np.cos(gt[2]), np.sin(gt[2])
+        world_gt = m.point_clouds[i] @ np.array([[c, -s], [s, c]]).T + gt[:2]
+        on_wall = np.abs(world_gt[:, axis] - value) < tol
+        if span is not None:
+            along = world_gt[:, 1 - axis]
+            on_wall &= (along >= span[0]) & (along <= span[1])
+        dp = est[i]
+        c2, s2 = np.cos(dp[2]), np.sin(dp[2])
+        pts.append(
+            m.point_clouds[i][on_wall] @ np.array([[c2, -s2], [s2, c2]]).T
+            + dp[:2]
+        )
+    return np.concatenate(pts, axis=0)
+
+
+def fit_clicked_segment(pts: np.ndarray) -> np.ndarray:
+    """PCA segment through a point blob with endpoints snapped to actual
+    points (a human clicks on rendered observations)."""
+    cm = pts.mean(axis=0)
+    _, _, vt = np.linalg.svd(pts - cm, full_matrices=False)
+    d = vt[0]
+    t = (pts - cm) @ d
+    lo, hi = np.quantile(t, 0.02), np.quantile(t, 0.98)
+    ends = np.stack([cm + lo * d, cm + hi * d])
+    snapped = np.stack(
+        [pts[np.argmin(np.linalg.norm(pts - e, axis=1))] for e in ends]
+    )
+    return snapped.astype(np.float32)
+
+
+def synthesize_correction(
+    m: SyntheticMap,
+    corrected_range,
+    anchor_range,
+    corrected_wall=(1, 0.0),
+    anchor_wall=(1, 0.0),
+    min_points: int = 40,
+    corrected_span: tuple | None = None,
+    anchor_span: tuple | None = None,
+    poses: np.ndarray | None = None,
+) -> np.ndarray:
+    """[4,2] selected points: corrected-epoch segment pair first, anchor pair
+    second (the reference's expected ordering; EMinput reorders otherwise)."""
+    late = wall_points_drifted(m, corrected_range, *corrected_wall,
+                               span=corrected_span, poses=poses)
+    early = wall_points_drifted(m, anchor_range, *anchor_wall,
+                                span=anchor_span, poses=poses)
+    if len(late) < min_points or len(early) < min_points:
+        raise ValueError(
+            f"not enough wall points: {len(late)}, {len(early)}"
+        )
+    return np.concatenate(
+        [fit_clicked_segment(late), fit_clicked_segment(early)], axis=0
     )

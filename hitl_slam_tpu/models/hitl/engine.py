@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,13 +30,7 @@ from ...core.state import (
 )
 from ...solver.lm import LMConfig
 from ...utils.timing import FunctionTimer
-from . import em_input
-from .repair import repair_step
-
-# static pad sizes for the (anchor, corrected) pair grid; typical selections
-# touch O(10) poses each (see EstablishObservationSets' >5-inlier gate)
-MAX_ANCHORS = 64
-MAX_CORRECTED = 64
+from .cycle import cycle_step
 
 
 @dataclass
@@ -206,89 +201,57 @@ class HitLSLAM:
         timer = FunctionTimer("cycle")
         if sel.shape[0] != 4:
             return CycleReport(False, f"unsupported selection shape {sel.shape}")
-        if np.allclose(sel[0], sel[1]) or np.allclose(sel[2], sel[3]):
-            return CycleReport(False, "degenerate selection")
 
-        world = st.world_points()
-        verified = np.asarray(
-            em_input.verify_input(world, st.point_mask, jnp.asarray(sel))
-        )
-        timer.lap("verify")
-        if not verified.all():
-            self.num_completed_cycles += 1
-            return CycleReport(
-                False, "input not verified near observations",
-                points_verified=int(verified.sum()),
-            )
+        # snapshot for undo (device array handles — free, arrays immutable)
+        prev_poses = st.poses
+        prev_covariances = st.covariances
+        prev_n = self.num_constraints
 
-        if record_history:
-            self.input_history.append(SingleInput(ctype, 0, sel.copy()))
-
-        # EM: refit both sketched segments against the map
-        seg_a = em_input.endpoint_adjust(world, st.point_mask, jnp.asarray(sel[0:2]))
-        seg_b = em_input.endpoint_adjust(world, st.point_mask, jnp.asarray(sel[2:4]))
-        refit = jnp.concatenate([seg_a, seg_b], axis=0)
-        c1, c2 = em_input.observation_counts(world, st.point_mask, refit)
-        timer.lap("em_fit")
-
-        ordered = em_input.order_and_filter(
-            np.asarray(c1), np.asarray(c2), np.asarray(refit)
-        )
-        timer.lap("order")
-        if not ordered.valid:
-            self.num_completed_cycles += 1
-            return CycleReport(False, "selection overlap / no backprop window",
-                               points_verified=int(verified.sum()))
-
-        # snapshot for undo
-        self.prev_poses = st.poses
-        self.prev_covariances = st.covariances
-        self.prev_num_constraints = self.num_constraints
-
-        # first contiguous corrected group + tail info (host, tiny)
-        corrected = ordered.corrected_poses
-        breaks = np.nonzero(np.diff(corrected) > 1)[0]
-        group_end = breaks[0] if len(breaks) else len(corrected) - 1
-        group = corrected[: group_end + 1]
-        group_mask = np.zeros(st.num_poses, bool)
-        group_mask[group] = True
-        last_pose = int(group[-1])
-
-        anchor_idx = np.full(MAX_ANCHORS, -1, np.int32)
-        k = min(len(ordered.anchor_poses), MAX_ANCHORS)
-        anchor_idx[:k] = ordered.anchor_poses[:k]
-        corr_idx = np.full(MAX_CORRECTED, -1, np.int32)
-        k = min(len(corrected), MAX_CORRECTED)
-        corr_idx[:k] = corrected[:k]
-
-        out = repair_step(
-            st.poses, st.covariances, st.constraints,
+        # ONE fused device program for the whole correction cycle
+        out = cycle_step(
+            st.points, st.point_mask, st.poses, st.covariances,
+            st.constraints,
             jnp.asarray(int(ctype), jnp.int32),
-            jnp.asarray(ordered.selected_points),
-            jnp.asarray(group_mask),
-            jnp.asarray(last_pose, jnp.int32),
-            jnp.asarray(anchor_idx), jnp.asarray(corr_idx),
-            jnp.asarray(ordered.backprop_start, jnp.int32),
-            jnp.asarray(ordered.backprop_end, jnp.int32),
+            jnp.asarray(sel),
             jnp.asarray(self.num_constraints, jnp.int32),
             lm_config=self.lm_config,
         )
-        out.poses.block_until_ready()
-        timer.lap("repair_step")
+        verified, order_valid, n_new, lm_it, c0, c1 = jax.device_get((
+            out.verified, out.order_valid, out.num_new_constraints,
+            out.lm_iterations, out.lm_initial_cost, out.lm_final_cost,
+        ))
+        timer.lap("cycle_step")
+        self.num_completed_cycles += 1
 
-        self.num_constraints += int(out.num_new_constraints)
+        if not bool(verified):
+            return CycleReport(False, "input not verified near observations",
+                               timings_ms=timer.laps_ms())
+
+        # the reference records history once the input verifies, even if the
+        # ordering stage later rejects it (HitLSLAM.cpp:390-397)
+        if record_history:
+            self.input_history.append(SingleInput(ctype, 0, sel.copy()))
+
+        if not bool(order_valid):
+            return CycleReport(False, "selection overlap / no backprop window",
+                               points_verified=4, timings_ms=timer.laps_ms())
+
+        self.prev_poses = prev_poses
+        self.prev_covariances = prev_covariances
+        self.prev_num_constraints = prev_n
+        self.num_constraints += int(n_new)
+        self.last_pre_solve_poses = out.pre_solve_poses
         self.state = MapState(
             poses=out.poses, covariances=out.covariances,
             points=st.points, normals=st.normals, point_mask=st.point_mask,
             odometry=st.odometry, constraints=out.constraints,
         )
-        self.num_completed_cycles += 1
         return CycleReport(
             True,
-            points_verified=int(verified.sum()),
-            num_new_constraints=int(out.num_new_constraints),
-            lm_iterations=int(out.lm.iterations),
-            initial_cost=float(out.lm.initial_cost),
-            final_cost=float(out.lm.final_cost),
+            points_verified=4,
+            num_new_constraints=int(n_new),
+            lm_iterations=int(lm_it),
+            initial_cost=float(c0),
+            final_cost=float(c1),
             timings_ms=timer.laps_ms(),
         )

@@ -42,6 +42,8 @@ class RepairOutput:
     num_new_constraints: Array   # scalar int32
     lm: LMResult
     correction: Array            # [3] explicit-stage correction fed to backprop
+    pre_solve_poses: Array       # [P,3] post-backprop, pre-LM poses (the
+                                 # state the joint solve starts from)
 
 
 def _scatter_constraints(
@@ -141,4 +143,5 @@ def repair_step(
         num_new_constraints=n_new,
         lm=lm,
         correction=C,
+        pre_solve_poses=poses2,
     )

@@ -1,0 +1,253 @@
+"""Sequence-parallel (pose-sharded) LM solve via shard_map + explicit
+collectives.
+
+Parallelism analysis (this is deliberate, not a limitation):
+  - Residual/Jacobian evaluation and normal-equation assembly are O(P) with
+    the factor chain sharded over the 'pose' axis; the chain factor at each
+    shard boundary needs the next shard's first pose — a single ppermute
+    halo exchange.
+  - The assembled block-tridiagonal system is only 21 floats per pose, so it
+    is all-gathered (KBs over ICI) and the cyclic-reduction solve runs
+    redundantly on every device: far cheaper than a distributed SPIKE solve
+    at these sizes, and exactly the "replicate the tiny solve, shard the
+    heavy sweeps" recipe. The heavy O(P*N) point sweeps elsewhere in the
+    pipeline (EM scans, world transforms, rendering, correspondence search)
+    shard cleanly over the same axis.
+  - Total per-iteration communication: one ppermute ([3] floats) + one
+    all_gather of (D, U, g) + one psum for the cost.
+
+The result is bit-compatible with solver/lm.py's single-chip path (same
+assembly, same BCR) — verified by tests on a virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.state import ConstraintTable
+from ..ops import residuals as res
+from ..solver.joint import JointProblem, build_problem
+from ..solver.lm import LMConfig, LMResult
+from ..solver.tridiag import bcr_solve
+
+Array = jax.Array
+
+
+def _local_odometry_assembly(odom: res.OdometryFactors, poses_l: Array,
+                             axis: str):
+    """Local chain-factor assembly with a halo ppermute.
+
+    poses_l: [Pl, 3] local shard. odom factor arrays are padded to [P] and
+    sharded to [Pl] (entry j = factor between global pose j and j+1; the
+    global-last entry is inert). Returns local (D_l [Pl,3,3], U_l [Pl,3,3],
+    g_l [Pl,3], cost_l) where D/g include a halo term received from the
+    previous shard for the boundary factor.
+    """
+    d = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    Pl = poses_l.shape[0]
+
+    # next shard's first pose (wraps at the end; masked below)
+    perm = [(i, (i - 1) % d) for i in range(d)]
+    halo = lax.ppermute(poses_l[0:1], axis, perm)      # [1, 3]
+    p0 = poses_l                                        # [Pl, 3]
+    p1 = jnp.concatenate([poses_l[1:], halo], axis=0)   # [Pl, 3]
+
+    # factor validity: global factor j exists for j < P-1
+    gidx = idx * Pl + jnp.arange(Pl)
+    valid = (gidx < d * Pl - 1).astype(poses_l.dtype)
+
+    f = res.OdometryFactors(
+        axis=odom.axis, radial=odom.radial, rotation=odom.rotation,
+        inv_sigma=odom.inv_sigma,
+    )
+    r = _pair_residuals(f, p0, p1) * valid[:, None]
+    J1, J2 = _pair_jacobians(f, p0, p1)
+    J1 = J1 * valid[:, None, None]
+    J2 = J2 * valid[:, None, None]
+
+    J1T = jnp.swapaxes(J1, -1, -2)
+    J2T = jnp.swapaxes(J2, -1, -2)
+    D_own = J1T @ J1                                    # to pose j
+    D_next = J2T @ J2                                   # to pose j+1
+    g_own = (J1T @ r[..., None])[..., 0]
+    g_next = (J2T @ r[..., None])[..., 0]
+
+    # shift the 'next' contributions down by one pose; the shard-boundary
+    # term goes to the next shard's pose 0 via ppermute
+    D_carry = lax.ppermute(D_next[-1:], axis, perm=[(i, (i + 1) % d) for i in range(d)])
+    g_carry = lax.ppermute(g_next[-1:], axis, perm=[(i, (i + 1) % d) for i in range(d)])
+    first_mask = (idx > 0).astype(poses_l.dtype)        # shard 0 receives wrap
+    D_l = D_own.at[1:].add(D_next[:-1]).at[0].add(first_mask * D_carry[0])
+    g_l = g_own.at[1:].add(g_next[:-1]).at[0].add(first_mask * g_carry[0])
+    U_l = J1T @ J2
+    cost_l = 0.5 * jnp.sum(r * r)
+    return D_l, U_l, g_l, cost_l
+
+
+def _pair_residuals(f, p0, p1):
+    from ..ops.geometry import angle_mod, rotate
+
+    v = rotate(-p0[:, 2], p1[:, :2] - p0[:, :2])
+    u = jnp.einsum("fij,fj->fi", f.axis, v)
+    r0 = (u[:, 0] - f.radial) * f.inv_sigma[0]
+    r1 = u[:, 1] * f.inv_sigma[1]
+    r2 = angle_mod(p1[:, 2] - p0[:, 2] - f.rotation) * f.inv_sigma[2]
+    return jnp.stack([r0, r1, r2], axis=-1)
+
+
+def _pair_jacobians(f, p0, p1):
+    from ..ops.residuals import _rot_neg
+
+    dt = p1[:, :2] - p0[:, :2]
+    from ..ops.geometry import rotate
+
+    v = rotate(-p0[:, 2], dt)
+    B = f.axis * f.inv_sigma[:2, None][None]
+    ARot = jnp.einsum("fij,fjk->fik", B, _rot_neg(p0[:, 2]))
+    dv = jnp.stack([v[:, 1], -v[:, 0]], -1)
+    du = jnp.einsum("fij,fj->fi", B, dv)
+    zeros = jnp.zeros_like(f.radial)
+    isa = jnp.broadcast_to(f.inv_sigma[2], zeros.shape)
+    J2 = jnp.concatenate(
+        [jnp.concatenate([ARot, jnp.zeros_like(du)[..., None]], -1),
+         jnp.stack([zeros, zeros, isa], -1)[:, None, :]], axis=1)
+    J1 = jnp.concatenate(
+        [jnp.concatenate([-ARot, du[..., None]], -1),
+         jnp.stack([zeros, zeros, -isa], -1)[:, None, :]], axis=1)
+    return J1, J2
+
+
+def _pad_factors(odom: res.OdometryFactors, P_total: int) -> res.OdometryFactors:
+    """Pad [P-1] factor arrays to [P] with an inert trailing entry."""
+    pad = lambda a, v: jnp.concatenate(
+        [a, jnp.full((1,) + a.shape[1:], v, a.dtype)], axis=0
+    )
+    eye = jnp.eye(2, dtype=odom.axis.dtype)[None]
+    return res.OdometryFactors(
+        axis=jnp.concatenate([odom.axis, eye], axis=0),
+        radial=pad(odom.radial, 0.0),
+        rotation=pad(odom.rotation, 0.0),
+        inv_sigma=odom.inv_sigma,
+    )
+
+
+def sharded_lm_solve(
+    mesh: Mesh,
+    problem: JointProblem,
+    poses0: Array,
+    config: LMConfig = LMConfig(),
+) -> LMResult:
+    """Pose-sharded LM. poses0 [P, 3] with P divisible by the 'pose' axis."""
+    P_total = poses0.shape[0]
+    axis = "pose"
+    dtype = poses0.dtype
+    padded = _pad_factors(problem.odom, P_total)
+
+    def lm_local(poses_l, odom_l, human):
+        def full_cost(poses_l):
+            Dl, Ul, gl, cl = _local_odometry_assembly(odom_l, poses_l, axis)
+            c = lax.psum(cl, axis)
+            return Dl, Ul, gl, c
+
+        def human_contrib(poses_full):
+            r_h = res.human_residuals(human, poses_full)
+            Jh = res.human_jacobians(human)
+            JhT = jnp.swapaxes(Jh, -1, -2)
+            Dh = jnp.zeros((P_total, 3, 3), dtype).at[human.pose_idx].add(JhT @ Jh)
+            gh = jnp.zeros((P_total, 3), dtype).at[human.pose_idx].add(
+                (JhT @ r_h[..., None])[..., 0])
+            ch = 0.5 * jnp.sum(r_h * r_h)
+            return Dh, gh, ch
+
+        Pl = poses_l.shape[0]
+        my = lax.axis_index(axis)
+
+        def eval_cost(poses_l):
+            _, _, _, c_odo = full_cost(poses_l)
+            poses_full = lax.all_gather(poses_l, axis, tiled=True)
+            _, _, ch = human_contrib(poses_full)
+            return c_odo + ch
+
+        c0 = eval_cost(poses_l)
+
+        def body(state):
+            x_l, mu, nu, c, it, done = state
+            Dl, Ul, gl, c_odo = full_cost(x_l)
+            x_full = lax.all_gather(x_l, axis, tiled=True)
+            Dh, gh, _ = human_contrib(x_full)
+            D = lax.all_gather(Dl, axis, tiled=True) + Dh
+            U = lax.all_gather(Ul, axis, tiled=True)[: P_total - 1]
+            g = lax.all_gather(gl, axis, tiled=True) + gh
+            # gauge fix pose 0
+            D = D.at[0].set(jnp.eye(3, dtype=dtype))
+            U = U.at[0].set(0.0)
+            g = g.at[0].set(0.0)
+
+            diag = jnp.clip(jnp.diagonal(D, axis1=-2, axis2=-1),
+                            config.min_diagonal, config.max_diagonal)
+            D_damped = D + mu * jax.vmap(jnp.diag)(diag)
+            step = bcr_solve(D_damped, U, -g)
+            step_l = lax.dynamic_slice_in_dim(step, my * Pl, Pl, axis=0)
+            x_new = x_l + step_l
+            c_new = eval_cost(x_new)
+            pred = 0.5 * jnp.sum(step * (mu * jnp.diagonal(D, axis1=-2, axis2=-1)
+                                         * step - g))
+            rho = (c - c_new) / jnp.maximum(pred, 1e-30)
+            accept = (rho > 0) & jnp.isfinite(c_new)
+            x_l = jnp.where(accept, x_new, x_l)
+            c_next = jnp.where(accept, c_new, c)
+            factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
+            mu = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
+            nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+            fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
+            sdone = accept & (
+                jnp.linalg.norm(step)
+                <= config.parameter_tolerance
+                * (jnp.linalg.norm(x_full) + config.parameter_tolerance)
+            )
+            mdone = mu >= config.mu_collapse
+            return x_l, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+
+        def cond(state):
+            _, _, _, _, it, done = state
+            return (it < config.max_iterations) & ~done
+
+        init = (poses_l, jnp.asarray(config.initial_mu, dtype),
+                jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        x_l, _, _, c, it, done = lax.while_loop(cond, body, init)
+        return x_l, c, c0, it, done
+
+    odom_spec = res.OdometryFactors(
+        axis=P("pose", None, None), radial=P("pose"), rotation=P("pose"),
+        inv_sigma=P(),
+    )
+    human_spec = res.HumanFactors(
+        pose_idx=P(), M=P(), target=P(), active=P()
+    )
+    fn = shard_map(
+        lm_local, mesh=mesh,
+        in_specs=(P("pose", None), odom_spec, human_spec),
+        out_specs=(P("pose", None), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    x, c, c0, it, done = jax.jit(fn)(poses0, padded, problem.human)
+    return LMResult(poses=x, final_cost=c, initial_cost=c0, iterations=it,
+                    converged=done)
+
+
+def make_sharded_solver(mesh: Mesh, config: LMConfig = LMConfig()):
+    """Convenience: (poses, table) -> LMResult with build on device."""
+
+    def run(poses: Array, table: ConstraintTable) -> LMResult:
+        problem = build_problem(poses, table)
+        return sharded_lm_solve(mesh, problem, poses, config)
+
+    return run

@@ -37,7 +37,9 @@ Array = jax.Array
 class LMConfig:
     max_iterations: int = 100
     function_tolerance: float = 1e-6
+    parameter_tolerance: float = 1e-7   # Ceres parameter_tolerance analog
     initial_mu: float = 1e-4        # damping = mu * diag(H)
+    mu_collapse: float = 1e10       # trust region collapsed -> converged
     min_diagonal: float = 1e-6      # clamp for Jacobi scaling (as in Ceres)
     max_diagonal: float = 1e32
 
@@ -92,8 +94,16 @@ def solve(
         nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
         mu = jnp.clip(mu, 1e-32, 1e32)
 
+        # Ceres-style termination: relative function decrease, relative step
+        # size, or trust-region collapse (mu runaway means f32 noise floor)
         fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
-        return x, mu, nu, c_next, it + 1, done | fdone
+        xnorm = jnp.linalg.norm(x)
+        sdone = accept & (
+            jnp.linalg.norm(step)
+            <= config.parameter_tolerance * (xnorm + config.parameter_tolerance)
+        )
+        mdone = mu >= config.mu_collapse
+        return x, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
 
     def cond(state):
         _, _, _, _, it, done = state

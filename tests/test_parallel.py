@@ -1,0 +1,72 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hitl_slam_tpu.core.state import ConstraintTable, CorrectionType
+from hitl_slam_tpu.parallel.mesh import make_mesh
+from hitl_slam_tpu.parallel.sharded_solver import sharded_lm_solve
+from hitl_slam_tpu.solver import joint as J
+from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
+
+
+def _chain_poses(rng, n):
+    p = np.zeros((n, 3), np.float32)
+    for i in range(1, n):
+        p[i, 2] = p[i - 1, 2] + rng.normal(0, 0.1)
+        step = np.array([np.cos(p[i - 1, 2]), np.sin(p[i - 1, 2])]) * 0.5
+        p[i, :2] = p[i - 1, :2] + step + rng.normal(0, 0.02, 2)
+    return p
+
+
+def _table(poses, rng, k=3):
+    t = ConstraintTable.empty(16)
+    n = poses.shape[0]
+    for i in range(k):
+        c = int(rng.integers(n // 2, n))
+        a = int(rng.integers(0, n // 4))
+        t = ConstraintTable(
+            ctype=t.ctype.at[i].set(int(CorrectionType.LINE_SEGMENT)),
+            constrained=t.constrained.at[i].set(c),
+            anchor=t.anchor.at[i].set(a),
+            delta_parallel=t.delta_parallel.at[i].set(float(rng.normal())),
+            delta_perpendicular=t.delta_perpendicular.at[i].set(
+                float(rng.normal())),
+            delta_angle=t.delta_angle.at[i].set(float(rng.normal() * 0.2)),
+            penalty_dir=t.penalty_dir.at[i].set(0.3),
+            active=t.active.at[i].set(True),
+        )
+    return t
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_lm_matches_single_chip(rng):
+    n = 64  # 8 poses per device
+    poses = jnp.asarray(_chain_poses(rng, n))
+    table = _table(poses, rng)
+    prob = J.build_problem(poses, table)
+
+    ref = solve_jit(prob, poses, LMConfig(max_iterations=60))
+
+    mesh = make_mesh(n_replica=1, n_pose=8)
+    got = sharded_lm_solve(mesh, prob, poses, LMConfig(max_iterations=60))
+
+    assert float(got.final_cost) <= float(ref.final_cost) * 1.05 + 1e-4
+    np.testing.assert_allclose(
+        np.asarray(got.poses), np.asarray(ref.poses), atol=5e-3
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_lm_2d_mesh(rng):
+    """'pose' axis of a 2D (replica x pose) mesh."""
+    n = 32
+    poses = jnp.asarray(_chain_poses(rng, n))
+    table = _table(poses, rng)
+    prob = J.build_problem(poses, table)
+    mesh = make_mesh(n_replica=2, n_pose=4)
+    got = sharded_lm_solve(mesh, prob, poses, LMConfig(max_iterations=40))
+    ref = solve_jit(prob, poses, LMConfig(max_iterations=40))
+    assert float(got.final_cost) <= float(ref.final_cost) * 1.05 + 1e-4
