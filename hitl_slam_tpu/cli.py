@@ -1,0 +1,192 @@
+"""HitL-SLAM command-line entry point.
+
+Flag-compatible with the reference executable (HitLSLAM_main.cpp:956-968):
+  -P / --pose-graph   .stfs.covars pose-graph file (required)
+  -L / --log          correction log to replay
+  -V / --save         output name for repaired poses (default
+                      hitl_results.txt, the 'v'-key format)
+
+plus TPU-framework extensions:
+  --replay-all        headless: replay every log entry, save results, exit
+                      (the benchmark/regression mode; the reference needs a
+                      human pressing 'l')
+  --gui               start the websocket GUI bridge and serve draw-lists
+  --render PATH       write a PNG render of the (repaired) map
+  --config PATH       load solver/engine parameters (hot-reloadable)
+
+Interactive keyboard protocol over the GUI bridge matches the reference
+(README.md:178-184): 'p' run correction, 'u' undo, 'v' save, 'l' replay step.
+Ctrl-C writes the session log like the reference's SIGINT handler
+(HitLSLAM_main.cpp:776-822,930-937).
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hitl-slam-tpu", description=__doc__)
+    p.add_argument("-P", "--pose-graph", required=True)
+    p.add_argument("-L", "--log", default=None)
+    p.add_argument("-V", "--save", default="hitl_results.txt")
+    p.add_argument("--replay-all", action="store_true")
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--gui-port", type=int, default=8765)
+    p.add_argument("--render", default=None)
+    p.add_argument("--config", default=None)
+    p.add_argument("--info-mat", default=None,
+                   help="write the factor-adjacency PNG after each solve")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .core.state import CorrectionType
+    from .io import logs, stfs
+    from .models.hitl.engine import HitLSLAM
+    from .solver.lm import LMConfig
+    from .utils.config import load_config
+
+    cfg = load_config(args.config) if args.config else None
+    lm_config = LMConfig(**cfg.get("lm", {})) if cfg else LMConfig()
+
+    print(f"loading pose graph: {args.pose_graph}")
+    data = stfs.load_stfs_covars(args.pose_graph)
+    print(f"loaded {len(data.poses)} poses, "
+          f"{sum(len(pc) for pc in data.point_clouds)} points "
+          f"(map '{data.map_name}')")
+
+    engine = HitLSLAM(lm_config=lm_config)
+    engine.init(data.poses, data.covariances, data.point_clouds,
+                data.normal_clouds)
+
+    input_log = []
+    if args.log:
+        input_log = logs.load_log(args.log)
+        print(f"loaded {len(input_log)} logged corrections from {args.log}")
+
+    def save_results():
+        stfs.save_results_poses(args.save, engine.get_poses())
+        print(f"saved {len(data.poses)} poses to {args.save}")
+
+    def write_info_mat():
+        if not args.info_mat:
+            return
+        from .ops.raster import info_matrix_image
+        from .utils.image import write_png
+
+        t = engine.state.constraints
+        img = info_matrix_image(engine.state.poses[:, 0], t.anchor,
+                                t.constrained, t.active)
+        write_png(args.info_mat, np.asarray(img))
+
+    def render():
+        if not args.render:
+            return
+        from .ops.raster import render_map
+        from .utils.image import write_png
+
+        st = engine.state
+        img = render_map(st.world_points(), st.point_mask, st.poses)
+        write_png(args.render, np.asarray(img))
+        print(f"rendered map to {args.render}")
+
+    def handle_sigint(sig, frame):
+        # reference behavior: auto-log the session on Ctrl-C
+        history = engine.get_input_history()
+        if history:
+            name = logs.default_log_name(args.pose_graph)
+            logs.save_log(name, history)
+            print(f"\nsession log written to {name}")
+        print("Terminating.")
+        sys.exit(0)
+
+    signal.signal(signal.SIGINT, handle_sigint)
+
+    if args.replay_all:
+        t_start = time.perf_counter()
+        for i, entry in enumerate(input_log):
+            if entry.undone:
+                print(f"[{i}] skipping undone entry")
+                continue
+            t0 = time.perf_counter()
+            rep = engine.replay_log(entry)
+            dt = (time.perf_counter() - t0) * 1e3
+            status = "ok" if rep.accepted else f"rejected: {rep.reason}"
+            print(f"[{i}] {entry.correction_type.name}: {status} "
+                  f"({dt:.1f} ms, lm_iters={rep.lm_iterations}, "
+                  f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g})")
+        total = time.perf_counter() - t_start
+        print(f"replayed {len(input_log)} corrections in {total:.2f} s")
+        save_results()
+        write_info_mat()
+        render()
+        return 0
+
+    if args.gui:
+        from .gui.display import display_poses, display_selection
+        from .gui.server import GuiServer
+
+        server = GuiServer(port=args.gui_port)
+        correction_mode = {"on": False}
+        replay_idx = {"i": 0}
+
+        def publish():
+            dl = display_poses(engine.state)
+            display_selection(dl, engine.selected_points)
+            server.publish(dl)
+
+        def on_click(ev):
+            if correction_mode["on"]:
+                engine.add_correction_points(
+                    ev.modifiers, np.asarray(ev.mouse_down),
+                    np.asarray(ev.mouse_up))
+                publish()
+
+        def on_key(ev):
+            if ev.keycode == 0x50:      # 'p'
+                correction_mode["on"] = not correction_mode["on"]
+                if not correction_mode["on"]:
+                    rep = engine.run()
+                    print(f"cycle: accepted={rep.accepted} {rep.reason}")
+                    write_info_mat()
+                    publish()
+            elif ev.keycode == 0x55:    # 'u'
+                if engine.undo():
+                    publish()
+            elif ev.keycode == 0x56:    # 'v'
+                save_results()
+            elif ev.keycode == 0x4C:    # 'l'
+                if replay_idx["i"] < len(input_log):
+                    engine.replay_log(input_log[replay_idx["i"]])
+                    replay_idx["i"] += 1
+                    publish()
+
+        server.on_mouse_click = on_click
+        server.on_keyboard = on_key
+        server.start()
+        publish()
+        print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "
+              f"(keys: p=correct u=undo v=save l=replay)")
+        try:
+            while True:
+                time.sleep(0.5)
+        except KeyboardInterrupt:
+            handle_sigint(None, None)
+        return 0
+
+    # no mode selected: print summary and save
+    save_results()
+    render()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""GUI bridge: a websocket message bus between the repair engine and viewers.
+
+Replaces the reference's ROS1 pub/sub plumbing (roscore + TCPROS topics
+VectorSLAM/VectorLocalization/{Gui,GuiMouseClickEvents,GuiKeyboardEvents},
+HitLSLAM_main.cpp:986-1005, vector_display_main.cpp:206-216): the engine
+process runs this server; any number of viewer clients connect, receive
+draw-list JSON frames, and send mouse/keyboard events that drive the same
+keycode protocol as the reference GUI ('p' provide correction, 'u' undo,
+'v' save, 'l' replay — README.md:178-184).
+
+The engine work runs on the server's thread via a callback queue so the
+device pipeline never runs concurrently with itself.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+from typing import Callable
+
+from .drawlist import DrawList, KeyboardEvent, MouseClickEvent, parse_event
+
+
+class GuiServer:
+    """Broadcast draw-lists; dispatch input events to engine callbacks."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8765):
+        self.host = host
+        self.port = port
+        self.clients: set = set()
+        self.on_mouse_click: Callable[[MouseClickEvent], None] | None = None
+        self.on_keyboard: Callable[[KeyboardEvent], None] | None = None
+        self.loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._started = threading.Event()
+        self._stop = None
+
+    async def _handler(self, ws):
+        self.clients.add(ws)
+        try:
+            async for msg in ws:
+                ev = parse_event(msg)
+                if isinstance(ev, MouseClickEvent) and self.on_mouse_click:
+                    await asyncio.to_thread(self.on_mouse_click, ev)
+                elif isinstance(ev, KeyboardEvent) and self.on_keyboard:
+                    await asyncio.to_thread(self.on_keyboard, ev)
+        finally:
+            self.clients.discard(ws)
+
+    async def _main(self):
+        import websockets
+
+        self._stop = asyncio.Event()
+        async with websockets.serve(self._handler, self.host, self.port):
+            self._started.set()
+            await self._stop.wait()
+
+    def start(self):
+        """Run the server on a daemon thread; returns once listening."""
+        self.loop = asyncio.new_event_loop()
+
+        def run():
+            asyncio.set_event_loop(self.loop)
+            self.loop.run_until_complete(self._main())
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=10):
+            raise RuntimeError("GUI server failed to start")
+
+    def stop(self):
+        if self.loop and self._stop:
+            self.loop.call_soon_threadsafe(self._stop.set)
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def publish(self, drawlist: DrawList):
+        """Broadcast a draw-list frame to all connected viewers."""
+        if not self.loop:
+            return
+        frame = drawlist.to_json()
+
+        async def send():
+            dead = []
+            for ws in list(self.clients):
+                try:
+                    await ws.send(frame)
+                except Exception:
+                    dead.append(ws)
+            for ws in dead:
+                self.clients.discard(ws)
+
+        asyncio.run_coroutine_threadsafe(send(), self.loop)
+
+    def publish_json(self, payload: dict):
+        if not self.loop:
+            return
+        frame = json.dumps(payload)
+
+        async def send():
+            for ws in list(self.clients):
+                try:
+                    await ws.send(frame)
+                except Exception:
+                    pass
+
+        asyncio.run_coroutine_threadsafe(send(), self.loop)

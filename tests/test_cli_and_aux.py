@@ -1,0 +1,133 @@
+"""CLI end-to-end (headless replay), raster, config, and GUI-bridge tests."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from hitl_slam_tpu.core.state import CorrectionType, SingleInput
+from hitl_slam_tpu.io import logs, stfs
+from hitl_slam_tpu.io.figure8 import generate_figure8, synthesize_correction
+
+
+@pytest.fixture(scope="module")
+def session_files(tmp_path_factory):
+    """A saved .stfs.covars + correction log pair — the reference's natural
+    checkpoint/replay fixture format (SURVEY.md section 4)."""
+    d = tmp_path_factory.mktemp("session")
+    m = generate_figure8(num_poses=96, num_rays=120, seed=5,
+                         drift_theta_bias=8e-4)
+    graph = str(d / "fig8.stfs.covars")
+    stfs.save_stfs_covars(graph, "Figure8Synthetic", 42.0, m.poses,
+                          m.covariances, m.point_clouds, m.normal_clouds)
+    sel = synthesize_correction(
+        m, range(60, 96), range(0, 30), (1, 0.0), (1, 0.0)
+    )
+    log = str(d / "session.log")
+    logs.save_log(log, [SingleInput(CorrectionType.COLINEAR, 0, sel)])
+    return graph, log, str(d)
+
+
+def test_cli_replay_all(session_files, capsys):
+    from hitl_slam_tpu.cli import main
+
+    graph, log, d = session_files
+    out = f"{d}/results.txt"
+    render = f"{d}/map.png"
+    info = f"{d}/info.png"
+    rc = main(["-P", graph, "-L", log, "-V", out, "--replay-all",
+               "--render", render, "--info-mat", info])
+    assert rc == 0
+    poses = np.loadtxt(out)
+    assert poses.shape == (96, 3)
+    assert np.isfinite(poses).all()
+    captured = capsys.readouterr().out
+    assert "ok" in captured
+    # PNG outputs exist and have PNG magic
+    for p in (render, info):
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_render_map_shapes(small_state):
+    from hitl_slam_tpu.ops.raster import render_map
+
+    img = np.asarray(render_map(
+        small_state.world_points(), small_state.point_mask,
+        small_state.poses, height=256, width=256))
+    assert img.shape == (256, 256, 3)
+    assert img.max() > 0  # something was drawn
+
+
+def test_info_matrix_image(small_state):
+    from hitl_slam_tpu.ops.raster import info_matrix_image
+
+    t = small_state.constraints
+    img = np.asarray(info_matrix_image(
+        small_state.poses[:, 0], t.anchor, t.constrained, t.active))
+    P = small_state.num_poses
+    assert img.shape == (P, P)
+    # odometry band present
+    assert (np.diag(img, 1) == 255).all()
+
+
+def test_config_hot_reload(tmp_path):
+    from hitl_slam_tpu.utils.config import WatchedConfig
+
+    p = tmp_path / "c.toml"
+    p.write_text("[lm]\nmax_iterations = 10\n")
+    wc = WatchedConfig([str(p)], poll_interval=0.05)
+    assert wc.tree().get_int("lm.max_iterations") == 10
+    seen = []
+    wc.on_change(lambda d: seen.append(d))
+    time.sleep(0.05)
+    p.write_text("[lm]\nmax_iterations = 77\n")
+    for _ in range(100):
+        if wc.check():
+            break
+        time.sleep(0.02)
+    assert wc.tree().get_int("lm.max_iterations") == 77
+    assert seen and seen[-1]["lm"]["max_iterations"] == 77
+
+
+def test_gui_server_roundtrip():
+    """Engine-side server + a raw websocket client: draw-list broadcast and
+    mouse/keyboard event dispatch."""
+    import asyncio
+
+    import websockets
+
+    from hitl_slam_tpu.gui.drawlist import DrawList, KeyboardEvent, MouseClickEvent
+    from hitl_slam_tpu.gui.server import GuiServer
+
+    received = {}
+    server = GuiServer(port=8791)
+    clicks = []
+    keys = []
+    server.on_mouse_click = clicks.append
+    server.on_keyboard = keys.append
+    server.start()
+    try:
+        async def client():
+            async with websockets.connect("ws://127.0.0.1:8791") as ws:
+                await ws.send(MouseClickEvent((1, 2), (3, 4), 4).to_json())
+                await ws.send(KeyboardEvent(0x50).to_json())
+                # wait for the engine to broadcast a frame
+                dl = DrawList()
+                dl.draw_point((9.0, 9.0), 0xFF0000)
+                for _ in range(50):
+                    server.publish(dl)
+                    try:
+                        msg = await asyncio.wait_for(ws.recv(), timeout=0.2)
+                        received["frame"] = json.loads(msg)
+                        break
+                    except asyncio.TimeoutError:
+                        continue
+
+        asyncio.run(client())
+    finally:
+        server.stop()
+    assert clicks and clicks[0].modifiers == 4
+    assert keys and keys[0].keycode == 0x50
+    assert received["frame"]["points"] == [[9.0, 9.0]]
