@@ -168,6 +168,33 @@ class HitLSLAM:
         self.input_history[-1].undone = 1
         return True
 
+    # -- post-human STF refinement -----------------------------------------
+
+    def post_optimize(self, max_iterations: int = 30) -> CycleReport:
+        """Run the STF correspondence + refinement solve on the current map
+        (the reference's dormant PostHumanOptimization, made live)."""
+        from .refine import post_human_refine
+
+        st = self.state
+        self.prev_poses = st.poses
+        self.prev_covariances = st.covariances
+        self.prev_num_constraints = self.num_constraints
+        out = post_human_refine(
+            st.points, st.normals, st.point_mask, st.poses, st.constraints,
+            config=LMConfig(max_iterations=max_iterations),
+        )
+        self.state = MapState(
+            poses=out.poses, covariances=st.covariances,
+            points=st.points, normals=st.normals, point_mask=st.point_mask,
+            odometry=st.odometry, constraints=st.constraints,
+        )
+        return CycleReport(
+            True, reason="post-human STF refinement",
+            lm_iterations=int(out.iterations),
+            initial_cost=float(out.initial_cost),
+            final_cost=float(out.final_cost),
+        )
+
     # -- the correction cycle ----------------------------------------------
 
     def run(self) -> CycleReport:

@@ -1,0 +1,41 @@
+"""Post-human STF refinement — the live version of the reference's dormant
+PostHumanOptimization stage (JointOptimization.cpp:1156-1256, invocation
+commented at :1353-1373).
+
+One fused device program: world transform -> grid correspondence search ->
+factor compaction -> dense GN/LM refine (odometry + human + STF factors).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...core.state import ConstraintTable
+from ...ops import correspond as C
+from ...ops.geometry import pose_to_world, rotate
+from ...solver.lm import LMConfig
+from ...solver.stf_solve import STFSolveResult, stf_lm_solve
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("capacity", "config", "include_chain"))
+def post_human_refine(
+    points: Array,       # [P, N, 2] robot frame
+    normals: Array,      # [P, N, 2]
+    point_mask: Array,   # [P, N]
+    poses: Array,        # [P, 3]
+    table: ConstraintTable,
+    capacity: int = 65536,
+    config: LMConfig = LMConfig(max_iterations=30),
+    include_chain: bool = True,
+) -> STFSolveResult:
+    world = pose_to_world(poses[:, None, :], points)
+    world_nrm = rotate(poses[:, 2][:, None], normals)
+    matches = C.grid_match(world, world_nrm, point_mask)
+    stf = C.build_stf_factors(points, normals, matches, capacity=capacity)
+    return stf_lm_solve(poses, table, stf, config=config,
+                        include_chain=include_chain)

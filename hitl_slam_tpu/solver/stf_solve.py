@@ -1,0 +1,171 @@
+"""Post-human STF refinement solve: dense Gauss-Newton/LM on the MXU.
+
+The reference ships (but never invokes) PostHumanOptimization
+(JointOptimization.cpp:1156-1256 — the call site is commented out at
+:1353-1373): after the human-constraint solve, find STF correspondences over
+all pose pairs and run a second Ceres solve over them. Here it is a live
+feature.
+
+STF factors couple arbitrary pose pairs, so the Hessian is no longer
+block-tridiagonal. At HitL scales (P <= a few thousand) the TPU-native answer
+is a DENSE normal-equation solve: scatter the 3x3 factor blocks into
+H [3P, 3P] (37 MB at P=1024) and Cholesky-factor it on the MXU — a few
+GFLOPs, microseconds of systolic-array time, no sparsity bookkeeping at all.
+
+By default the solve includes odometry + human + STF factors (strictly
+better-posed than the reference's STF-only problem, which is gauge-deficient
+beyond the single fixed pose); `stf_only=True` reproduces the reference's
+formulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.state import ConstraintTable
+from ..ops import correspond as C
+from ..ops import residuals as R
+from .joint import build_problem, normal_equations
+from .lm import LMConfig
+
+Array = jax.Array
+
+
+def _dense_from_tridiag(D: Array, U: Array) -> Array:
+    P = D.shape[0]
+    n = 3 * P
+    H = jnp.zeros((n, n), D.dtype)
+    r3 = jnp.arange(3)
+    i = jnp.arange(P)
+    rows = (3 * i)[:, None, None] + r3[None, :, None]
+    cols = (3 * i)[:, None, None] + r3[None, None, :]
+    H = H.at[rows, cols].add(D)
+    j = jnp.arange(P - 1)
+    rows = (3 * j)[:, None, None] + r3[None, :, None]
+    cols = (3 * (j + 1))[:, None, None] + r3[None, None, :]
+    H = H.at[rows, cols].add(U)
+    H = H.at[cols.swapaxes(-1, -2), rows.swapaxes(-1, -2)].add(
+        jnp.swapaxes(U, -1, -2))
+    return H
+
+
+def _scatter_block(H: Array, bi: Array, bj: Array, block: Array) -> Array:
+    r3 = jnp.arange(3)
+    rows = (3 * bi)[:, None, None] + r3[None, :, None]
+    cols = (3 * bj)[:, None, None] + r3[None, None, :]
+    return H.at[rows, cols].add(block)
+
+
+def assemble_dense(
+    problem,
+    stf: C.STFFactors,
+    poses: Array,
+    include_chain: bool = True,
+) -> tuple[Array, Array, Array]:
+    """Dense H [3P,3P], gradient g [3P], cost — odometry+human (optional)
+    + STF factors at `poses`."""
+    P = poses.shape[0]
+    n = 3 * P
+    dtype = poses.dtype
+
+    if include_chain:
+        D, U, g_blocks, cost = normal_equations(problem, poses)
+        H = _dense_from_tridiag(D, U)
+        g = g_blocks.reshape(n)
+    else:
+        H = jnp.zeros((n, n), dtype)
+        g = jnp.zeros((n,), dtype)
+        cost = jnp.zeros((), dtype)
+
+    r = C.stf_residuals(stf, poses)            # [Cf, 2]
+    J0, J1 = C.stf_jacobians(stf, poses)       # [Cf, 2, 3]
+    J0T, J1T = jnp.swapaxes(J0, -1, -2), jnp.swapaxes(J1, -1, -2)
+    H = _scatter_block(H, stf.pose0, stf.pose0, J0T @ J0)
+    H = _scatter_block(H, stf.pose1, stf.pose1, J1T @ J1)
+    H = _scatter_block(H, stf.pose0, stf.pose1, J0T @ J1)
+    H = _scatter_block(H, stf.pose1, stf.pose0, J1T @ J0)
+    g = g.reshape(P, 3).at[stf.pose0].add(
+        (J0T @ r[..., None])[..., 0]
+    ).at[stf.pose1].add((J1T @ r[..., None])[..., 0]).reshape(n)
+    cost = cost + 0.5 * jnp.sum(r * r)
+
+    # gauge fix pose 0
+    eye = jnp.eye(3, dtype=dtype)
+    H = H.at[:3, :].set(0.0).at[:, :3].set(0.0).at[:3, :3].set(eye)
+    g = g.at[:3].set(0.0)
+    return H, g, cost
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class STFSolveResult:
+    poses: Array
+    final_cost: Array
+    initial_cost: Array
+    iterations: Array
+    num_matches: Array
+
+
+@partial(jax.jit, static_argnames=("config", "include_chain"))
+def stf_lm_solve(
+    poses0: Array,
+    table: ConstraintTable,
+    stf: C.STFFactors,
+    config: LMConfig = LMConfig(max_iterations=30),
+    include_chain: bool = True,
+) -> STFSolveResult:
+    dtype = poses0.dtype
+    problem = build_problem(poses0, table)
+
+    def cost_only(x):
+        if include_chain:
+            from .joint import cost as chain_cost
+
+            c = chain_cost(problem, x)
+        else:
+            c = jnp.zeros((), dtype)
+        r = C.stf_residuals(stf, x)
+        return c + 0.5 * jnp.sum(r * r)
+
+    c0 = cost_only(poses0)
+
+    def body(state):
+        x, mu, nu, c, it, done = state
+        H, g, _ = assemble_dense(problem, stf, x, include_chain)
+        diag = jnp.clip(jnp.diagonal(H), config.min_diagonal,
+                        config.max_diagonal)
+        Hd = H + mu * jnp.diag(diag)
+        step = jnp.linalg.solve(Hd, -g)
+        x_new = x + step.reshape(-1, 3)
+        c_new = cost_only(x_new)
+        pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
+        rho = (c - c_new) / jnp.maximum(pred, 1e-30)
+        accept = (rho > 0) & jnp.isfinite(c_new)
+        x = jnp.where(accept, x_new, x)
+        c_next = jnp.where(accept, c_new, c)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
+        mu = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
+        nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+        fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
+        sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
+                          * (jnp.linalg.norm(x) + config.parameter_tolerance))
+        mdone = mu >= config.mu_collapse
+        return x, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+
+    def cond(state):
+        _, _, _, _, it, done = state
+        return (it < config.max_iterations) & ~done
+
+    init = (poses0, jnp.asarray(config.initial_mu, dtype),
+            jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+    x, _, _, c, it, _ = lax.while_loop(cond, body, init)
+    return STFSolveResult(
+        poses=x, final_cost=c, initial_cost=c0, iterations=it,
+        num_matches=jnp.sum(stf.valid),
+    )

@@ -1,0 +1,123 @@
+"""STF correspondence engine + post-human refinement tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hitl_slam_tpu.ops import correspond as C
+
+
+def _two_pose_cloud(rng, n=64, offset=0.05):
+    """Two poses observing the same wall, slightly offset."""
+    x = np.linspace(0.0, 3.0, n)
+    pts0 = np.stack([x, np.zeros(n)], -1).astype(np.float32)
+    pts1 = pts0 + np.array([0.0, offset], np.float32)
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    world = jnp.asarray(np.stack([pts0, pts1]))          # [2, n, 2]
+    normals = jnp.asarray(np.stack([nrm, nrm]))
+    mask = jnp.ones((2, n), bool)
+    return world, normals, mask
+
+
+def test_grid_match_vs_bruteforce(rng):
+    P, N = 4, 48
+    pts = rng.uniform(0, 4.0, (P, N, 2)).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, (P, N))
+    nrm = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+    mask = rng.uniform(size=(P, N)) > 0.1
+    m = C.grid_match(jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(mask),
+                     threshold=0.3, window=16)
+
+    flat = pts.reshape(-1, 2)
+    fnrm = nrm.reshape(-1, 2)
+    fmask = mask.reshape(-1)
+    pose = np.repeat(np.arange(P), N)
+    min_cos = float(np.cos(25 * np.pi / 180))
+    got_t = np.asarray(m.target)
+    got_v = np.asarray(m.valid)
+    for i in range(P * N):
+        if not fmask[i]:
+            assert not got_v[i]
+            continue
+        d2 = np.sum((flat - flat[i]) ** 2, -1)
+        cos = fnrm @ fnrm[i]
+        ok = fmask & (pose != pose[i]) & (d2 < 0.09) & (cos > min_cos)
+        if not ok.any():
+            assert not got_v[i], i
+        else:
+            assert got_v[i], i
+            expect = np.flatnonzero(ok)[np.argmin(d2[ok])]
+            assert got_t[i] == expect, (i, got_t[i], expect)
+
+
+def test_stf_jacobians_match_autodiff(rng):
+    world, normals, mask = _two_pose_cloud(rng)
+    poses = jnp.asarray(
+        np.array([[0, 0, 0], [0.1, -0.02, 0.03]], np.float32))
+    # robot-frame = world here for pose0 identity; build factors directly
+    m = C.grid_match(world, normals, mask, threshold=0.2)
+    f = C.build_stf_factors(world, normals, m, capacity=256,
+                            min_pair_matches=5)
+    assert int(jnp.sum(f.valid)) > 50
+
+    r = C.stf_residuals(f, poses)
+    J0, J1 = C.stf_jacobians(f, poses)
+
+    def r_fn(flat):
+        return C.stf_residuals(f, flat.reshape(2, 3)).reshape(-1)
+
+    Jfull = jax.jit(jax.jacfwd(r_fn))(poses.reshape(-1))  # [2C, 6]
+    Cn = f.pose0.shape[0]
+    Jfull = np.asarray(Jfull).reshape(Cn, 2, 6)
+    p0 = np.asarray(f.pose0)
+    p1 = np.asarray(f.pose1)
+    va = np.asarray(f.valid)
+    for k in np.flatnonzero(va)[:40]:
+        np.testing.assert_allclose(
+            Jfull[k][:, 3 * p0[k]: 3 * p0[k] + 3], np.asarray(J0[k]),
+            atol=1e-4, err_msg=f"J0 {k}")
+        np.testing.assert_allclose(
+            Jfull[k][:, 3 * p1[k]: 3 * p1[k] + 3], np.asarray(J1[k]),
+            atol=1e-4, err_msg=f"J1 {k}")
+
+
+def test_refine_aligns_offset_wall(rng):
+    """Two scans of one wall, offset 5 cm: the STF refine should pull the
+    second pose to close the gap."""
+    from hitl_slam_tpu.core.state import ConstraintTable
+    from hitl_slam_tpu.models.hitl.refine import post_human_refine
+    from hitl_slam_tpu.solver.lm import LMConfig
+
+    n = 64
+    x = np.linspace(0.0, 3.0, n)
+    wall = np.stack([x, np.zeros(n)], -1).astype(np.float32)
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    # both poses at origin-ish; pose1's estimate is off by +5 cm in y
+    points = jnp.asarray(np.stack([wall, wall]))
+    normals = jnp.asarray(np.stack([nrm, nrm]))
+    mask = jnp.ones((2, n), bool)
+    poses = jnp.asarray(np.array([[0, 0, 0], [0.0, 0.05, 0.0]], np.float32))
+    table = ConstraintTable.empty(8)
+
+    out = post_human_refine(points, normals, mask, poses, table,
+                            capacity=512, config=LMConfig(max_iterations=20))
+    assert int(out.num_matches) > 50
+    assert float(out.final_cost) < float(out.initial_cost)
+    # pose1's y should shrink toward 0 (the odometry chain resists some)
+    y1 = float(out.poses[1, 1])
+    assert abs(y1) < 0.05, y1
+
+
+def test_post_optimize_on_session(small_map):
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    eng = HitLSLAM()
+    m = small_map
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             constraint_capacity=256)
+    rep = eng.post_optimize(max_iterations=10)
+    assert rep.accepted
+    poses = eng.get_poses()
+    assert np.isfinite(poses).all()
+    assert rep.final_cost <= rep.initial_cost * 1.0 + 1e-6
