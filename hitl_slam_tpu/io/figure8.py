@@ -238,3 +238,61 @@ def synthesize_correction(
     return np.concatenate(
         [fit_clicked_segment(late), fit_clicked_segment(early)], axis=0
     )
+
+
+def _raycast_ranges(pose, walls, num_rays, max_range, fov):
+    """Per-beam range readings (np.inf on miss) — raw-scan form of _raycast."""
+    angles = pose[2] + np.linspace(-fov / 2, fov / 2, num_rays)
+    d = np.stack([np.cos(angles), np.sin(angles)], -1)
+    o = pose[:2]
+    a = walls[:, 0:2]
+    e = walls[:, 2:4] - a
+    denom = d[:, None, 0] * (-e[None, :, 1]) - d[:, None, 1] * (-e[None, :, 0])
+    ao = np.broadcast_to(a[None, :, :] - o[None, :], (num_rays, len(walls), 2))
+    t = (ao[..., 0] * (-e[None, :, 1]) - ao[..., 1] * (-e[None, :, 0])) / np.where(
+        np.abs(denom) < 1e-12, np.inf, denom)
+    s = (d[:, None, 0] * ao[..., 1] - d[:, None, 1] * ao[..., 0]) / np.where(
+        np.abs(denom) < 1e-12, np.inf, denom)
+    valid = (t > 0.05) & (s >= 0.0) & (s <= 1.0)
+    t = np.where(valid, t, np.inf)
+    tmin = t.min(axis=1)
+    return np.where(tmin < max_range, tmin, np.inf).astype(np.float32)
+
+
+def generate_raw_stream(
+    num_steps: int = 256,
+    num_rays: int = 360,
+    max_range: float = 12.0,
+    fov: float = 2.0 * np.pi * 0.75,
+    noise_trans: float = 2e-3,
+    noise_theta: float = 1e-3,
+    range_noise: float = 5e-3,
+    seed: int = 0,
+    width: float = 20.0,
+    height: float = 10.0,
+    num_laps: int = 1,
+):
+    """Raw sensor stream for the EnML driver: per-step laser ranges + noisy
+    relative odometry (the synthetic analog of a ROS bag). Returns
+    (scans T x [R], beam_angles [R], rel_odometry [T,3], gt_poses [T,3],
+    walls)."""
+    rng = np.random.default_rng(seed)
+    walls = _figure8_walls(width, height)
+    gt = _figure8_trajectory(num_steps, width, height, num_laps)
+    beam_angles = np.linspace(-fov / 2, fov / 2, num_rays).astype(np.float32)
+    scans, rels = [], []
+    for i in range(num_steps):
+        r = _raycast_ranges(gt[i], walls, num_rays, max_range, fov)
+        r = r + rng.normal(0.0, range_noise, r.shape).astype(np.float32)
+        scans.append(r)
+        if i == 0:
+            rels.append(np.zeros(3, np.float32))
+        else:
+            c, s = np.cos(gt[i - 1, 2]), np.sin(gt[i - 1, 2])
+            R_inv = np.array([[c, s], [-s, c]])
+            dt = R_inv @ (gt[i, :2] - gt[i - 1, :2])
+            dth = gt[i, 2] - gt[i - 1, 2]
+            dt = dt + rng.normal(0.0, noise_trans, 2)
+            dth = dth + rng.normal(0.0, noise_theta)
+            rels.append(np.array([dt[0], dt[1], dth], np.float32))
+    return scans, beam_angles, np.stack(rels), gt.astype(np.float32), walls

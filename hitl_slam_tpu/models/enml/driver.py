@@ -1,0 +1,199 @@
+"""EnML driver: raw scan/odometry streams -> pose graph -> batch localize ->
+`.stfs.covars`.
+
+Host-side pipeline mirroring the reference's vector_mapping_main.cpp:
+  - `build_episodes`   AddPose (:1072-1168): odometry accumulation with
+                       minimum-translation/rotation node gating, laser index
+                       clipping, range/angular-margin filtering, sensor
+                       offset, ordered-scan normal generation;
+  - `apply_noise_model` the 4-omniwheel encoder noise fault injector used by
+                       --noise statistical tests (:369-405);
+  - `consistency_metric` a vectorized stand-in for EvaluateConsistency
+                       (:1742-1830): mean nearest-neighbor disagreement
+                       between overlapping scans instead of pairwise SDF
+                       rasters (same monotone signal, no CImg);
+  - `localize_and_save` run the TPU batch localizer and write the
+                       .stfs.covars / .poses outputs (SaveStfsandCovars
+                       :1855-1928, SaveLoggedPoses :1830).
+
+Scans come in as plain arrays (ranges [T, R] + per-scan odometry), not ROS
+bags; io/figure8.py synthesizes compatible streams.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...io import stfs
+
+
+@dataclass
+class EpisodeOptions:
+    """Reference names from config/*.cfg `NonMarkovLocalization`."""
+
+    minimum_node_translation: float = 0.3
+    minimum_node_rotation: float = np.deg2rad(5.0)
+    min_point_cloud_range: float = 0.02
+    max_point_cloud_range: float = 70.0
+    max_normal_point_distance: float = 0.5
+    angular_margin: float = 0.0
+    clip_low: int = 60
+    clip_high: int = 60
+    sensor_offset: tuple = (0.0, 0.0)
+
+
+def _rot(th):
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s], [s, c]])
+
+
+def generate_normals_np(points: np.ndarray, max_dist: float) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered-scan normals (perception_2d.cpp:34-65); returns (points,
+    normals) with no-neighbor points dropped, like the reference's erase."""
+    n = len(points)
+    if n == 0:
+        return points, points
+    prev_d = points - np.roll(points, 1, axis=0)
+    next_d = np.roll(points, -1, axis=0) - points
+    idx = np.arange(n)
+    prev_ok = (idx > 0) & (np.linalg.norm(prev_d, axis=1) < max_dist)
+    next_ok = (idx < n - 1) & (np.linalg.norm(next_d, axis=1) < max_dist)
+
+    def unit(v):
+        return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+    def perp(v):
+        return np.stack([-v[:, 1], v[:, 0]], -1)
+
+    contrib = (np.where(prev_ok[:, None], perp(unit(prev_d)), 0)
+               + np.where(next_ok[:, None], perp(unit(next_d)), 0))
+    count = prev_ok.astype(float) + next_ok.astype(float)
+    keep = count > 0
+    normals = unit(contrib[keep] / count[keep, None])
+    return points[keep], normals.astype(np.float32)
+
+
+def build_episodes(
+    scans: list[np.ndarray],          # T x [R] ranges
+    scan_angles: np.ndarray,          # [R] beam angles
+    rel_odometry: np.ndarray,         # [T, 3] per-scan relative (dx, dy, dth)
+    options: EpisodeOptions = EpisodeOptions(),
+):
+    """Node gating + cloud construction. Returns (poses [P,3] odometry-
+    integrated, point_clouds, normal_clouds, rel_poses [P,3])."""
+    o = options
+    acc_t = np.zeros(2)
+    acc_th = 0.0
+    glob_t = np.zeros(2)
+    glob_th = 0.0
+    poses, pcs, ncs, rels = [], [], [], []
+    first = True
+    for ranges, rel in zip(scans, rel_odometry):
+        acc_t = acc_t + _rot(acc_th) @ rel[:2]
+        acc_th = acc_th + rel[2]
+        if not first and (np.linalg.norm(acc_t) < o.minimum_node_translation
+                          and abs(acc_th) < o.minimum_node_rotation):
+            continue
+        glob_t = _rot(glob_th) @ acc_t + glob_t
+        glob_th = glob_th + acc_th
+
+        r = np.asarray(ranges, np.float32)
+        a = np.asarray(scan_angles, np.float32)
+        lo, hi = o.clip_low, max(o.clip_low, len(r) - o.clip_high)
+        r, a = r[lo:hi], a[lo:hi]
+        ok = (np.isfinite(r) & (r > o.min_point_cloud_range)
+              & (r < o.max_point_cloud_range)
+              & (a >= a.min() + o.angular_margin)
+              & (a <= a.max() - o.angular_margin))
+        pts = (np.asarray(o.sensor_offset, np.float32)
+               + np.stack([r[ok] * np.cos(a[ok]), r[ok] * np.sin(a[ok])], -1))
+        pts, nrm = generate_normals_np(pts, o.max_normal_point_distance)
+        if len(pts) == 0:
+            pts = np.zeros((1, 2), np.float32)
+            nrm = np.array([[1.0, 0.0]], np.float32)
+        poses.append([glob_t[0], glob_t[1], glob_th])
+        pcs.append(pts.astype(np.float32))
+        ncs.append(nrm)
+        rels.append([acc_t[0], acc_t[1], acc_th])
+        acc_t = np.zeros(2)
+        acc_th = 0.0
+        first = False
+    return (np.asarray(poses, np.float32), pcs, ncs,
+            np.asarray(rels, np.float32))
+
+
+def apply_noise_model(dx: float, dy: float, da: float, e: float,
+                      rng: np.random.Generator) -> tuple[float, float, float]:
+    """4-omniwheel encoder noise injection (vector_mapping_main.cpp:369-405):
+    project the motion into wheel-encoder space, perturb each encoder with
+    gaussian noise proportional to its reading, project back."""
+    R = 0.1
+    C = np.cos(np.deg2rad(45.0))
+    M_vel_to_enc = np.array([
+        [C, C, R], [-C, C, R], [-C, -C, R], [C, -C, R]])
+    k = np.sqrt(2.0)
+    M_enc_to_vel = np.array([
+        [k, -k, -k, k], [k, k, -k, -k], [1 / R, 1 / R, 1 / R, 1 / R]]) / 4.0
+    enc = M_vel_to_enc @ np.array([dx, dy, da])
+    enc_noisy = enc + rng.normal(0.0, np.abs(e * enc))
+    out = M_enc_to_vel @ enc_noisy
+    return float(out[0]), float(out[1]), float(out[2])
+
+
+def consistency_metric(poses: np.ndarray, point_clouds: list[np.ndarray],
+                       max_pair_dist: float = 10.0,
+                       sample: int = 64) -> float:
+    """Mean cross-pose nearest-neighbor distance between overlapping scans —
+    the scalar core of EvaluateConsistency without the SDF rasters. Lower is
+    more self-consistent."""
+    P = len(poses)
+    worlds = []
+    for i in range(P):
+        pc = point_clouds[i]
+        if len(pc) > sample:
+            pc = pc[np.linspace(0, len(pc) - 1, sample).astype(int)]
+        worlds.append(pc @ _rot(poses[i, 2]).T + poses[i, :2])
+    total, count = 0.0, 0
+    for i in range(P):
+        for j in range(i + 1, P):
+            if np.linalg.norm(poses[i, :2] - poses[j, :2]) > max_pair_dist:
+                continue
+            d = np.linalg.norm(
+                worlds[i][:, None, :] - worlds[j][None, :, :], axis=-1)
+            nn = d.min(axis=1)
+            close = nn[nn < 0.5]
+            if len(close):
+                total += float(close.sum())
+                count += len(close)
+    return total / max(count, 1)
+
+
+def localize_and_save(
+    poses: np.ndarray,
+    point_clouds: list[np.ndarray],
+    normal_clouds: list[np.ndarray],
+    out_prefix: str,
+    map_name: str = "EnML",
+    timestamp: float = 0.0,
+    options=None,
+):
+    """Run the TPU batch localizer and write <prefix>.stfs.covars and
+    <prefix>.poses (SaveStfsandCovars / SaveLoggedPoses formats)."""
+    import jax.numpy as jnp
+
+    from ...core.state import make_map_state
+    from .localizer import EnmlOptions, batch_localize
+
+    st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
+                        point_clouds, normal_clouds)
+    opts = options or EnmlOptions()
+    new_poses, covs = batch_localize(
+        st.points, st.normals, st.point_mask, st.poses, opts)
+    new_poses = np.asarray(new_poses)
+    covs = np.asarray(covs)
+    stfs.save_stfs_covars(out_prefix + ".stfs.covars", map_name, timestamp,
+                          new_poses, covs, point_clouds, normal_clouds)
+    stfs.save_results_poses(out_prefix + ".poses", new_poses)
+    return new_poses, covs

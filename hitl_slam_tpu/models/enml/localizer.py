@@ -1,0 +1,341 @@
+"""EnML batch localizer: the sliding-episode-window SLAM front end that
+produces the `.stfs.covars` pose graphs HitL repairs.
+
+TPU redesign of VectorMapping::BatchLocalize (vector_mapping.cpp:2673-2911).
+The reference runs up to 40000 outer iterations of {KD-tree STF matching over
+the current window -> Ceres solve -> ceres::Covariance DENSE_SVD -> advance
+window}. Semantics preserved:
+
+  - episode window of kMaxHistory poses advanced by kPoseIncrement
+    (BatchLocalize hardcodes kMaxHistory=10, :2684);
+  - odometry factors target the INITIAL (odometry-integrated) relative poses
+    with rate-bounded sigmas (AddPoseConstraints :1041-1127, bound<float> on
+    kOdometry*StdDevRate), window-first pose held constant;
+  - STF factors: symmetric point-to-plane over in-window cross-pose nearest
+    neighbors with distance + normal gates (FindSTFCorrespondences);
+  - per-pose 3x3 marginal covariance from the window's GN Hessian, rotated
+    into the pose frame (:2772-2812) — computed from the last window that
+    contains the pose, matching the reference's overwrite-until-slide-out;
+  - new poses are seeded from the optimized previous pose composed with the
+    initial relative transform (ResetGlobalPoses :485-500).
+
+The TPU shape: the entire trajectory sweep is ONE `lax.scan` over window
+positions; each step does brute-force masked NN within the (small) window —
+W*N x W*N distances on the VPU/MXU beat pointer-chasing KD-trees at this
+size — plus a fixed number of damped GN iterations on the dense window
+Hessian [3W, 3W]. Everything is statically shaped; the scan compiles once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...ops.geometry import angle_mod, perp, rotate
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class EnmlOptions:
+    """Mirrors VectorMappingOptions / NonMarkovLocalization config names
+    (config/non_markov_localization.cfg)."""
+
+    max_history: int = 10                  # BatchLocalize override (:2684)
+    pose_increment: int = 1
+    gn_iterations: int = 12                # ~ max_solver_iterations=30 budget
+    match_rounds: int = 2                  # re-match + re-solve per window
+    point_match_threshold: float = 0.15
+    max_stf_angle_error: float = 25.0 * 3.14159265 / 180.0
+    laser_std_dev: float = 0.05
+    point_correlation_factor: float = 1.0 / 40.0
+    odometry_radial_stddev_rate: float = 0.1
+    odometry_tangential_stddev_rate: float = 0.1
+    odometry_angular_stddev_rate: float = 0.1
+    odometry_translation_min_stddev: float = 0.001
+    odometry_translation_max_stddev: float = 0.5
+    odometry_angular_min_stddev: float = 0.0001
+    odometry_angular_max_stddev: float = 0.5
+    damping: float = 1e-4
+
+
+def _odometry_targets(initial_poses: Array, o: EnmlOptions):
+    """Per-chain-factor constants from the initial pose estimates."""
+    p0, p1 = initial_poses[:-1], initial_poses[1:]
+    trans = p1[:, :2] - p0[:, :2]
+    norm = jnp.linalg.norm(trans, axis=-1)
+    degenerate = (jnp.abs(trans[:, 0]) < 1e-6) & (jnp.abs(trans[:, 1]) < 1e-6)
+    local = rotate(-p0[:, 2], trans)
+    radial = jnp.where(
+        degenerate[:, None],
+        jnp.stack([jnp.cos(p1[:, 2]), jnp.sin(p1[:, 2])], -1),
+        local / jnp.maximum(norm, 1e-6)[:, None],
+    )
+    tangential = perp(radial)
+    axis = jnp.stack([radial, tangential], axis=-2)
+    d = jnp.where(degenerate, 0.0, norm)
+    rot = angle_mod(p1[:, 2] - p0[:, 2])
+    sr = jnp.clip(o.odometry_radial_stddev_rate * d,
+                  o.odometry_translation_min_stddev,
+                  o.odometry_translation_max_stddev)
+    st = jnp.clip(o.odometry_tangential_stddev_rate * d,
+                  o.odometry_translation_min_stddev,
+                  o.odometry_translation_max_stddev)
+    sa = jnp.clip(o.odometry_angular_stddev_rate * jnp.abs(rot),
+                  o.odometry_angular_min_stddev,
+                  o.odometry_angular_max_stddev)
+    return axis, d, rot, jnp.stack([1.0 / sr, 1.0 / st, 1.0 / sa], -1)
+
+
+def _window_gn(
+    w_poses: Array,      # [W, 3] current window poses
+    w_pts: Array,        # [W, N, 2]
+    w_nrm: Array,        # [W, N, 2]
+    w_mask: Array,       # [W, N] (invalid rows fully masked)
+    w_axis: Array,       # [W-1, 2, 2] odometry constants for in-window chain
+    w_d: Array, w_rot: Array, w_isig: Array,  # [W-1, ...]
+    w_chain_valid: Array,  # [W-1] chain factor exists
+    o: EnmlOptions,
+):
+    """`match_rounds` x (brute-force window NN match -> gn_iterations damped
+    GN steps on the dense [3W,3W] window system); pose 0 of the window fixed.
+    Returns (poses, H) with H the final Hessian (for covariance extraction).
+    """
+    W, N, _ = w_pts.shape
+    M = W * N
+    flat_pts = w_pts.reshape(M, 2)
+    flat_nrm = w_nrm.reshape(M, 2)
+    flat_mask = w_mask.reshape(M)
+    pose_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
+    t2 = o.point_match_threshold**2
+    min_cos = jnp.cos(o.max_stf_angle_error)
+    wgt = o.point_correlation_factor / o.laser_std_dev
+
+    def match(poses):
+        """Best cross-pose NN per point in world frame -> (tgt_idx, valid)."""
+        q = poses[pose_of]
+        pw = rotate(q[:, 2], flat_pts) + q[:, :2]
+        nw = rotate(q[:, 2], flat_nrm)
+        d2 = jnp.sum((pw[:, None, :] - pw[None, :, :]) ** 2, -1)  # [M, M]
+        cos = nw @ nw.T
+        ok = (
+            flat_mask[:, None]
+            & flat_mask[None, :]
+            & (pose_of[:, None] != pose_of[None, :])
+            & (d2 < t2)
+            & (cos > min_cos)
+        )
+        d2m = jnp.where(ok, d2, jnp.inf)
+        tgt = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+        valid = jnp.isfinite(jnp.min(d2m, axis=1))
+        return tgt, valid
+
+    def gn_round(carry, _):
+        poses, _ = carry
+        tgt, valid = match(poses)
+        s_pose = pose_of
+        t_pose = pose_of[tgt]
+        sp = flat_pts
+        tp = flat_pts[tgt]
+        sn = flat_nrm
+        tn = flat_nrm[tgt]
+
+        def system(poses):
+            # odometry residuals/jacobians over the window chain
+            p0, p1 = poses[:-1], poses[1:]
+            v = rotate(-p0[:, 2], p1[:, :2] - p0[:, :2])
+            u = jnp.einsum("fij,fj->fi", w_axis, v)
+            r_o = jnp.stack([
+                (u[:, 0] - w_d) * w_isig[:, 0],
+                u[:, 1] * w_isig[:, 1],
+                angle_mod(p1[:, 2] - p0[:, 2] - w_rot) * w_isig[:, 2],
+            ], -1) * w_chain_valid[:, None]
+            B = w_axis * w_isig[:, :2, None]
+            c, s = jnp.cos(-p0[:, 2]), jnp.sin(-p0[:, 2])
+            Rn = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+            ARot = jnp.einsum("fij,fjk->fik", B, Rn)
+            dv = jnp.stack([v[:, 1], -v[:, 0]], -1)
+            du = jnp.einsum("fij,fj->fi", B, dv)
+            z = jnp.zeros_like(w_d)
+            isa = w_isig[:, 2]
+            J2 = jnp.concatenate([
+                jnp.concatenate([ARot, jnp.zeros_like(du)[..., None]], -1),
+                jnp.stack([z, z, isa], -1)[:, None, :]], axis=1)
+            J1 = jnp.concatenate([
+                jnp.concatenate([-ARot, du[..., None]], -1),
+                jnp.stack([z, z, -isa], -1)[:, None, :]], axis=1)
+            J1 = J1 * w_chain_valid[:, None, None]
+            J2 = J2 * w_chain_valid[:, None, None]
+
+            # symmetric point-to-plane STF residuals/jacobians
+            q_s = poses[s_pose]
+            q_t = poses[t_pose]
+            spw = rotate(q_s[:, 2], sp) + q_s[:, :2]
+            tpw = rotate(q_t[:, 2], tp) + q_t[:, :2]
+            snw = rotate(q_s[:, 2], sn)
+            tnw = rotate(q_t[:, 2], tn)
+            dp = tpw - spw
+            vmask = valid.astype(poses.dtype) * wgt
+            r0 = jnp.sum(snw * dp, -1) * vmask
+            r1 = jnp.sum(tnw * dp, -1) * vmask
+            dsp = perp(spw - q_s[:, :2])
+            dtp = perp(tpw - q_t[:, :2])
+            dsn = perp(snw)
+            dtn = perp(tnw)
+            j0 = jnp.stack([
+                jnp.concatenate([-vmask[:, None] * snw,
+                                 (vmask * (jnp.sum(dsn * dp, -1)
+                                           - jnp.sum(snw * dsp, -1)))[:, None]],
+                                -1),
+                jnp.concatenate([-vmask[:, None] * tnw,
+                                 (-vmask * jnp.sum(tnw * dsp, -1))[:, None]],
+                                -1),
+            ], axis=1)
+            j1 = jnp.stack([
+                jnp.concatenate([vmask[:, None] * snw,
+                                 (vmask * jnp.sum(snw * dtp, -1))[:, None]], -1),
+                jnp.concatenate([vmask[:, None] * tnw,
+                                 (vmask * (jnp.sum(dtn * dp, -1)
+                                           + jnp.sum(tnw * dtp, -1)))[:, None]],
+                                -1),
+            ], axis=1)
+
+            # dense [3W, 3W] assembly
+            n3 = 3 * W
+            H = jnp.zeros((n3, n3), poses.dtype)
+            g = jnp.zeros((W, 3), poses.dtype)
+            r3 = jnp.arange(3)
+
+            def scat(H, bi, bj, blk):
+                rows = (3 * bi)[:, None, None] + r3[None, :, None]
+                cols = (3 * bj)[:, None, None] + r3[None, None, :]
+                return H.at[rows, cols].add(blk)
+
+            i = jnp.arange(W - 1)
+            J1T = jnp.swapaxes(J1, -1, -2)
+            J2T = jnp.swapaxes(J2, -1, -2)
+            H = scat(H, i, i, J1T @ J1)
+            H = scat(H, i + 1, i + 1, J2T @ J2)
+            H = scat(H, i, i + 1, J1T @ J2)
+            H = scat(H, i + 1, i, J2T @ J1)
+            g = g.at[:-1].add((J1T @ r_o[..., None])[..., 0])
+            g = g.at[1:].add((J2T @ r_o[..., None])[..., 0])
+
+            j0T = jnp.swapaxes(j0, -1, -2)
+            j1T = jnp.swapaxes(j1, -1, -2)
+            H = scat(H, s_pose, s_pose, j0T @ j0)
+            H = scat(H, t_pose, t_pose, j1T @ j1)
+            H = scat(H, s_pose, t_pose, j0T @ j1)
+            H = scat(H, t_pose, s_pose, j1T @ j0)
+            rr = jnp.stack([r0, r1], -1)
+            g = g.at[s_pose].add((j0T @ rr[..., None])[..., 0])
+            g = g.at[t_pose].add((j1T @ rr[..., None])[..., 0])
+
+            # window-first pose fixed
+            eye = jnp.eye(3, dtype=poses.dtype)
+            H = H.at[:3, :].set(0.0).at[:, :3].set(0.0).at[:3, :3].set(eye)
+            g = g.reshape(n3).at[:3].set(0.0)
+            return H, g
+
+        def gn_step(poses, _):
+            H, g = system(poses)
+            diag = jnp.clip(jnp.diagonal(H), 1e-6, 1e32)
+            Hd = H + o.damping * jnp.diag(diag)
+            step = jnp.linalg.solve(Hd, -g).reshape(W, 3)
+            return poses + step, None
+
+        poses, _ = lax.scan(gn_step, poses, None, length=o.gn_iterations)
+        H_final, _ = system(poses)
+        return (poses, H_final), None
+
+    H0 = jnp.eye(3 * W, dtype=w_poses.dtype)
+    (poses, H), _ = lax.scan(gn_round, (w_poses, H0), None,
+                             length=o.match_rounds)
+    return poses, H
+
+
+@partial(jax.jit, static_argnames=("options",))
+def batch_localize(
+    points: Array,        # [P, N, 2] robot frame
+    normals: Array,       # [P, N, 2]
+    point_mask: Array,    # [P, N]
+    initial_poses: Array,  # [P, 3] odometry-integrated estimates
+    options: EnmlOptions = EnmlOptions(),
+) -> tuple[Array, Array]:
+    """Full-trajectory sweep. Returns (poses [P,3], covariances [P,3,3])."""
+    o = options
+    P = initial_poses.shape[0]
+    W = min(o.max_history, P)
+    dtype = initial_poses.dtype
+
+    axis, d, rot, isig = _odometry_targets(initial_poses, o)
+    # relative seed transforms for window advance
+    rel_t = rotate(-initial_poses[:-1, 2],
+                   initial_poses[1:, :2] - initial_poses[:-1, :2])
+    rel_th = initial_poses[1:, 2] - initial_poses[:-1, 2]
+
+    def step(carry, t):
+        poses = carry           # [P, 3] running estimates
+        # seed pose t from optimized pose t-1 (ResetGlobalPoses)
+        seeded = jnp.concatenate([
+            poses[t - 1, :2] + rotate(poses[t - 1, 2], rel_t[t - 1]),
+            (poses[t - 1, 2] + rel_th[t - 1])[None],
+        ])
+        poses = poses.at[t].set(jnp.where(t > 0, seeded, poses[0]))
+
+        a = jnp.maximum(t - W + 1, 0)
+        w_poses = lax.dynamic_slice_in_dim(poses, a, W, 0)
+        w_pts = lax.dynamic_slice_in_dim(points, a, W, 0)
+        w_nrm = lax.dynamic_slice_in_dim(normals, a, W, 0)
+        w_mask = lax.dynamic_slice_in_dim(point_mask, a, W, 0)
+        # rows beyond pose t are future poses: mask them out of the window
+        widx = a + jnp.arange(W)
+        w_mask = w_mask & (widx <= t)[:, None]
+        w_axis = lax.dynamic_slice_in_dim(axis, jnp.minimum(a, P - W), W - 1, 0)
+        w_d = lax.dynamic_slice_in_dim(d, jnp.minimum(a, P - W), W - 1, 0)
+        w_rot = lax.dynamic_slice_in_dim(rot, jnp.minimum(a, P - W), W - 1, 0)
+        w_isig = lax.dynamic_slice_in_dim(isig, jnp.minimum(a, P - W), W - 1, 0)
+        w_chain_valid = (widx[:-1] < t).astype(dtype)
+
+        new_w_poses, H = _window_gn(
+            w_poses, w_pts, w_nrm, w_mask, w_axis, w_d, w_rot, w_isig,
+            w_chain_valid, o,
+        )
+        poses = lax.dynamic_update_slice_in_dim(poses, new_w_poses, a, 0)
+
+        # marginal covariance of the NEWEST pose (t) from this window's
+        # Hessian, rotated into its pose frame (:2794-2806). Deviation
+        # (documented): the reference overwrites each pose's covariance on
+        # every window iteration, so its final value comes from the last
+        # window containing the pose; taking the arrival-window value instead
+        # gives every pose exactly one well-defined covariance and the same
+        # monotone growth along the trajectory.
+        # pin factor-free (future-masked) window poses to identity so the
+        # inverse is well conditioned; they are decoupled from live poses
+        m3 = jnp.repeat(widx <= t, 3)
+        H = jnp.where(m3[:, None] & m3[None, :], H, 0.0)
+        H = H + jnp.diag(jnp.where(m3, 1e-9, 1.0))
+        cov_full = jnp.linalg.inv(H)
+        j = t - a
+        blk = lax.dynamic_slice(cov_full, (3 * j, 3 * j), (3, 3))
+        th = poses[t, 2]
+        c, s = jnp.cos(-th), jnp.sin(-th)
+        T = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], dtype)
+        T = T.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
+        cov = T @ blk @ T.T
+        return poses, (cov, t)
+
+    poses0 = initial_poses
+    ts = jnp.arange(P)
+    poses_final, (covs, out_idx) = lax.scan(step, poses0, ts)
+
+    # one covariance per pose (out_idx == arange(P)); pose 0 is the gauge
+    covariances = jnp.zeros((P, 3, 3), dtype).at[out_idx].set(covs)
+    covariances = covariances.at[0].set(jnp.eye(3, dtype=dtype) * 1e-6)
+
+    poses_final = poses_final.at[:, 2].set(angle_mod(poses_final[:, 2]))
+    return poses_final, covariances

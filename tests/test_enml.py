@@ -1,0 +1,85 @@
+"""EnML batch localizer + driver tests."""
+
+import numpy as np
+import pytest
+
+from hitl_slam_tpu.io.figure8 import generate_raw_stream
+from hitl_slam_tpu.models.enml.driver import (
+    EpisodeOptions,
+    apply_noise_model,
+    build_episodes,
+    consistency_metric,
+    localize_and_save,
+)
+
+
+@pytest.fixture(scope="module")
+def stream():
+    return generate_raw_stream(num_steps=160, num_rays=240, seed=11,
+                               noise_trans=4e-3, noise_theta=2e-3)
+
+
+@pytest.fixture(scope="module")
+def episodes(stream):
+    scans, angles, rel, gt, walls = stream
+    return build_episodes(scans, angles, rel,
+                          EpisodeOptions(clip_low=10, clip_high=10))
+
+
+def test_build_episodes_gating(stream, episodes):
+    scans, angles, rel, gt, walls = stream
+    poses, pcs, ncs, rels = episodes
+    # node gating prunes scans where the robot barely moved
+    assert 10 < len(poses) < len(scans)
+    assert len(pcs) == len(poses) == len(ncs) == len(rels)
+    for pc, nc in zip(pcs, ncs):
+        assert pc.shape == nc.shape
+        np.testing.assert_allclose(np.linalg.norm(nc, axis=1), 1.0, atol=1e-5)
+    # odometry integration consistent: integrating rels reproduces poses
+    t = np.zeros(2)
+    th = 0.0
+    for k in range(len(poses)):
+        c, s = np.cos(th), np.sin(th)
+        t = np.array([[c, -s], [s, c]]) @ rels[k, :2] + t
+        th = th + rels[k, 2]
+        np.testing.assert_allclose(poses[k, :2], t, atol=1e-4)
+
+
+def test_apply_noise_model_statistics(rng):
+    outs = np.array([apply_noise_model(0.3, 0.1, 0.05, 0.05, rng)
+                     for _ in range(400)])
+    # unbiased around the true motion, nonzero spread
+    np.testing.assert_allclose(outs.mean(0), [0.3, 0.1, 0.05], atol=0.02)
+    assert (outs.std(0) > 1e-4).all()
+    # zero noise factor -> exact passthrough
+    exact = apply_noise_model(0.3, 0.1, 0.05, 0.0, rng)
+    np.testing.assert_allclose(exact, [0.3, 0.1, 0.05], atol=1e-6)
+
+
+def test_batch_localize_improves_consistency(episodes, tmp_path):
+    poses, pcs, ncs, rels = episodes
+    new_poses, covs = localize_and_save(
+        poses, pcs, ncs, str(tmp_path / "enml_out"), map_name="TestEnML")
+
+    assert new_poses.shape == poses.shape
+    assert np.isfinite(new_poses).all()
+    assert np.isfinite(covs).all()
+    # covariances: symmetric PSD with broadly growing scale along trajectory
+    for i in range(1, len(covs)):
+        np.testing.assert_allclose(covs[i], covs[i].T, atol=1e-5)
+        eig = np.linalg.eigvalsh(covs[i])
+        assert (eig > -1e-7).all(), i
+    early = np.trace(covs[1:9].mean(0))
+    late = np.trace(covs[-8:].mean(0))
+    assert late > early
+
+    before = consistency_metric(poses, pcs)
+    after = consistency_metric(new_poses, pcs)
+    assert after <= before * 1.05, (before, after)
+
+    # output is loadable and feeds the HitL engine
+    from hitl_slam_tpu.io import stfs
+
+    data = stfs.load_stfs_covars(str(tmp_path / "enml_out.stfs.covars"))
+    assert data.poses.shape == new_poses.shape
+    np.testing.assert_allclose(data.poses, new_poses, atol=2e-3)
