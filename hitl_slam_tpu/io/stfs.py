@@ -51,7 +51,13 @@ def parse_rows(header_and_rows: str) -> tuple[str, float, np.ndarray]:
     assert rows.shape[1] == 16, f"expected 16 fields, got {rows.shape[1]}"
     return map_name, timestamp, rows
 
-def load_stfs_covars(path: str) -> PoseGraphData:
+def load_stfs_covars(path: str, use_native: bool = True) -> PoseGraphData:
+    if use_native:
+        from .. import native
+
+        parsed = native.parse_stfs_file(path)
+        if parsed is not None:
+            return _group_rows(*parsed)
     with open(path) as f:
         text = f.read()
     map_name, timestamp, rows = parse_rows(text)

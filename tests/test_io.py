@@ -65,3 +65,22 @@ def test_make_map_state_padding(small_map):
     R = np.array([[c, -s], [s, c]])
     manual = m.point_clouds[i] @ R.T + m.poses[i, :2]
     np.testing.assert_allclose(wp[i, : len(manual)], manual, atol=1e-4)
+
+
+def test_native_parser_matches_numpy(tmp_path, small_map):
+    from hitl_slam_tpu import native
+
+    m = small_map
+    path = str(tmp_path / "native.stfs.covars")
+    stfs.save_stfs_covars(path, "NativeTest", 7.25, m.poses, m.covariances,
+                          m.point_clouds, m.normal_clouds)
+    assert native.available(), "native parser failed to build"
+    fast = stfs.load_stfs_covars(path, use_native=True)
+    slow = stfs.load_stfs_covars(path, use_native=False)
+    assert fast.map_name == slow.map_name == "NativeTest"
+    assert fast.timestamp == slow.timestamp
+    np.testing.assert_allclose(fast.poses, slow.poses, atol=1e-5)
+    assert len(fast.point_clouds) == len(slow.point_clouds)
+    for a, b in zip(fast.point_clouds, slow.point_clouds):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(fast.covariances, slow.covariances, atol=1e-6)
