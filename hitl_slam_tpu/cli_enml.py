@@ -1,0 +1,101 @@
+"""EnML batch-localization command line — the `vector_mapping` executable's
+role (vector_mapping_main.cpp:2885-3021): raw scan stream -> episodes ->
+batch localize -> .stfs.covars / .poses outputs, with the reference's
+statistical-test hooks (--noise fault injection over multiple seeded trials,
+:2912-2960, SaveResults :719).
+
+Input "bags" are .npz files with arrays {scans [T,R], angles [R],
+rel_odometry [T,3]} (io/figure8.generate_raw_stream writes compatible data;
+--synthetic generates one on the fly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="enml-tpu", description=__doc__)
+    p.add_argument("-b", "--bag", default=None, help=".npz scan stream")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic figure-8 stream instead")
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("-o", "--output", default="enml_out")
+    p.add_argument("--map-name", default="EnML")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="encoder noise factor for fault injection")
+    p.add_argument("--statistical-test", type=int, default=0, metavar="N",
+                   help="run N noisy trials and save per-trial poses")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-history", type=int, default=10)
+    return p
+
+
+def _load_stream(args):
+    if args.synthetic or args.bag is None:
+        from .io.figure8 import generate_raw_stream
+
+        scans, angles, rel, gt, _ = generate_raw_stream(
+            num_steps=args.steps, seed=args.seed)
+        return list(scans), angles, rel
+    data = np.load(args.bag)
+    return list(data["scans"]), data["angles"], data["rel_odometry"]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .models.enml.driver import (
+        EpisodeOptions,
+        apply_noise_model,
+        build_episodes,
+        consistency_metric,
+        localize_and_save,
+    )
+    from .models.enml.localizer import EnmlOptions
+
+    scans, angles, rel = _load_stream(args)
+    print(f"stream: {len(scans)} scans x {len(angles)} beams")
+    opts = EnmlOptions(max_history=args.max_history)
+
+    def run_once(rel_odom, tag=""):
+        t0 = time.perf_counter()
+        poses, pcs, ncs, rels = build_episodes(
+            scans, angles, rel_odom, EpisodeOptions(clip_low=10, clip_high=10))
+        new_poses, covs = localize_and_save(
+            poses, pcs, ncs, args.output + tag, map_name=args.map_name,
+            options=opts)
+        dt = time.perf_counter() - t0
+        before = consistency_metric(poses, pcs)
+        after = consistency_metric(new_poses, pcs)
+        print(f"{tag or 'run'}: {len(poses)} episode nodes localized in "
+              f"{dt:.2f}s; consistency {before:.4f} -> {after:.4f}; "
+              f"wrote {args.output + tag}.stfs.covars")
+        return new_poses
+
+    if args.statistical_test > 0:
+        rng = np.random.default_rng(args.seed)
+        for trial in range(args.statistical_test):
+            noisy = rel.copy()
+            for i in range(len(noisy)):
+                noisy[i] = apply_noise_model(
+                    *[float(v) for v in rel[i]], args.noise, rng)
+            run_once(noisy, tag=f".trial{trial}")
+        return 0
+
+    if args.noise > 0:
+        rng = np.random.default_rng(args.seed)
+        noisy = rel.copy()
+        for i in range(len(noisy)):
+            noisy[i] = apply_noise_model(
+                *[float(v) for v in rel[i]], args.noise, rng)
+        rel = noisy
+    run_once(rel)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,3 +131,26 @@ def test_gui_server_roundtrip():
     assert clicks and clicks[0].modifiers == 4
     assert keys and keys[0].keycode == 0x50
     assert received["frame"]["points"] == [[9.0, 9.0]]
+
+
+def test_cli_enml_synthetic(tmp_path, capsys):
+    from hitl_slam_tpu.cli_enml import main as enml_main
+
+    out = str(tmp_path / "enml")
+    rc = enml_main(["--synthetic", "--steps", "96", "-o", out])
+    assert rc == 0
+    from hitl_slam_tpu.io import stfs
+
+    data = stfs.load_stfs_covars(out + ".stfs.covars")
+    assert len(data.poses) > 10
+
+
+def test_cli_ltvm(session_files, tmp_path):
+    from hitl_slam_tpu.cli_ltvm import main as ltvm_main
+
+    graph, log, d = session_files
+    out = str(tmp_path / "ltvm")
+    rc = ltvm_main(["-P", graph, "-o", out, "--resolution", "0.1"])
+    assert rc == 0
+    lines = open(out + ".vectors.txt").read().strip().splitlines()
+    assert len(lines) >= 2

@@ -70,3 +70,26 @@ def test_sharded_lm_2d_mesh(rng):
     got = sharded_lm_solve(mesh, prob, poses, LMConfig(max_iterations=40))
     ref = solve_jit(prob, poses, LMConfig(max_iterations=40))
     assert float(got.final_cost) <= float(ref.final_cost) * 1.05 + 1e-4
+
+
+def test_batched_replica_solve(rng):
+    from hitl_slam_tpu.parallel.replicas import (
+        batched_solve,
+        make_perturbed_replicas,
+        shard_replicas,
+    )
+
+    n = 40
+    poses = _chain_poses(rng, n)
+    table = _table(jnp.asarray(poses), rng)
+    reps, btable = make_perturbed_replicas(poses, table, num_replicas=8)
+    mesh = make_mesh(n_replica=min(8, len(jax.devices())), n_pose=1)
+    reps, btable = shard_replicas(mesh, reps, btable)
+    out = batched_solve(reps, btable, LMConfig(max_iterations=40))
+    assert out.poses.shape == (8, n, 3)
+    costs = np.asarray(out.final_cost)
+    inits = np.asarray(out.initial_cost)
+    assert (costs <= inits + 1e-5).all()
+    # replicas differ but all converge near a common optimum cost scale
+    assert np.isfinite(costs).all()
+    assert costs.std() < max(costs.mean(), 1e-6)
