@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .joint import JointProblem, cost as joint_cost, normal_equations
-from .tridiag import bcr_solve
+from .tridiag import bcr_solve, schur_solve
 
 Array = jax.Array
 
@@ -58,9 +58,15 @@ def solve(
     problem: JointProblem,
     poses0: Array,
     config: LMConfig = LMConfig(),
-    linear_solver: Callable[[Array, Array, Array], Array] = bcr_solve,
+    linear_solver: Callable[[Array, Array, Array], Array] | None = None,
 ) -> LMResult:
-    """Run LM from poses0. Static over pose count; jit/vmap-safe."""
+    """Run LM from poses0. Static over pose count; jit/vmap-safe.
+
+    Linear solver: Schur-partitioned batched-dense (MXU) for big chains,
+    cyclic reduction for small ones; overridable.
+    """
+    if linear_solver is None:
+        linear_solver = schur_solve if poses0.shape[0] >= 64 else bcr_solve
     dtype = poses0.dtype
     c0 = joint_cost(problem, poses0)
 

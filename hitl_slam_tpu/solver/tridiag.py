@@ -22,6 +22,8 @@ blocks LM produces.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -159,4 +161,112 @@ def bcr_solve(D: Array, U: Array, b: Array) -> Array:
         x_odd = (Do_inv @ rhs[..., None])[..., 0]
         x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h, 3)
 
+    return x[:n]
+
+
+def _assemble_chunk_dense(D_int: Array, U_int: Array) -> Array:
+    """Batched dense assembly of chunk-interior block-tridiag matrices.
+
+    D_int: [K, m, 3, 3] interior diagonal blocks; U_int: [K, m-1, 3, 3]
+    interior couplings. Returns [K, 3m, 3m].
+    """
+    K, m = D_int.shape[0], D_int.shape[1]
+    n = 3 * m
+    r3 = jnp.arange(3)
+    A = jnp.zeros((K, n, n), D_int.dtype)
+    i = jnp.arange(m)
+    rows = (3 * i)[:, None, None] + r3[None, :, None]
+    cols = (3 * i)[:, None, None] + r3[None, None, :]
+    A = A.at[:, rows, cols].add(D_int)
+    j = jnp.arange(m - 1)
+    rows = (3 * j)[:, None, None] + r3[None, :, None]
+    cols = (3 * (j + 1))[:, None, None] + r3[None, None, :]
+    A = A.at[:, rows, cols].add(U_int)
+    A = A.at[:, cols.swapaxes(-1, -2), rows.swapaxes(-1, -2)].add(
+        jnp.swapaxes(U_int, -1, -2))
+    return A
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def schur_solve(D: Array, U: Array, b: Array, chunk: int = 16) -> Array:
+    """Schur-partitioned block-tridiagonal solve — the MXU path.
+
+    Every `chunk`-th pose is a separator; the independent chunk interiors are
+    eliminated with ONE batched dense Cholesky ([K, 3(chunk-1), 3(chunk-1)]),
+    the separator Schur complement (block-tridiagonal again, ~P/chunk blocks)
+    is solved densely, and interiors back-substitute with batched matmuls.
+    ~10 large fused XLA ops instead of log2(P) levels of tiny ones; the heavy
+    lifting runs on the systolic array. Identical semantics to
+    thomas_solve/bcr_solve.
+    """
+    n = D.shape[0]
+    if n < 2 * chunk:
+        return bcr_solve(D, U, b)
+    dt = D.dtype
+    C = chunk
+    n_s = -(-(n - 1) // C)            # number of chunks
+    n_pad = n_s * C + 1
+    pad = n_pad - n
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dt), (pad, 3, 3))
+    Df = jnp.concatenate([D, eye], 0)
+    Uf = jnp.concatenate([U, jnp.zeros((n_pad - 1 - (n - 1), 3, 3), dt)], 0)
+    bf = jnp.concatenate([b, jnp.zeros((pad, 3), dt)], 0)
+
+    m = C - 1                          # interior poses per chunk
+    D_int = Df[1:].reshape(n_s, C, 3, 3)[:, :m]
+    U_all = Uf.reshape(n_s, C, 3, 3)
+    U_int = U_all[:, 1:m]              # within-interior couplings
+    U_left = U_all[:, 0]               # separator_k -> first interior
+    U_right = U_all[:, m]              # last interior -> separator_{k+1}
+    b_int = bf[1:].reshape(n_s, C, 3)[:, :m].reshape(n_s, 3 * m)
+    D_sep = Df[::C]                    # [n_s+1, 3, 3]
+    b_sep = bf[::C]                    # [n_s+1, 3]
+
+    A = _assemble_chunk_dense(D_int, U_int)          # [K, 3m, 3m]
+    # RHS bundle: [B_k | C_k | b_k] with B/C the separator couplings
+    B = jnp.zeros((n_s, 3 * m, 3), dt).at[:, 0:3, :].set(
+        jnp.swapaxes(U_left, -1, -2))
+    Cc = jnp.zeros((n_s, 3 * m, 3), dt).at[:, 3 * m - 3:, :].set(U_right)
+    rhs = jnp.concatenate([B, Cc, b_int[..., None]], axis=-1)  # [K, 3m, 7]
+    X = jnp.linalg.solve(A, rhs)
+    XB, XC, xb = X[..., 0:3], X[..., 3:6], X[..., 6]
+
+    BT = jnp.swapaxes(B, -1, -2)
+    CT = jnp.swapaxes(Cc, -1, -2)
+    S_kk = BT @ XB                     # [K, 3, 3]
+    S_kk1 = BT @ XC
+    S_k1k = CT @ XB
+    S_k1k1 = CT @ XC
+    g_k = (BT @ xb[..., None])[..., 0]
+    g_k1 = (CT @ xb[..., None])[..., 0]
+
+    # separator system: block tridiag over n_s+1 separators
+    Ds = D_sep.at[:-1].add(-S_kk).at[1:].add(-S_k1k1)
+    Us = -S_kk1                        # couples sep k -> k+1; note S_k1k = Us^T
+    bs = b_sep.at[:-1].add(-g_k).at[1:].add(-g_k1)
+    # small dense solve over separators
+    ns3 = 3 * (n_s + 1)
+    Hs = jnp.zeros((ns3, ns3), dt)
+    r3 = jnp.arange(3)
+    i = jnp.arange(n_s + 1)
+    rows = (3 * i)[:, None, None] + r3[None, :, None]
+    cols = (3 * i)[:, None, None] + r3[None, None, :]
+    Hs = Hs.at[rows, cols].add(Ds)
+    j = jnp.arange(n_s)
+    rows = (3 * j)[:, None, None] + r3[None, :, None]
+    cols = (3 * (j + 1))[:, None, None] + r3[None, None, :]
+    Hs = Hs.at[rows, cols].add(Us)
+    Hs = Hs.at[cols.swapaxes(-1, -2), rows.swapaxes(-1, -2)].add(
+        jnp.swapaxes(S_k1k, -1, -2) * -1.0)
+    x_sep = jnp.linalg.solve(Hs, bs.reshape(-1)).reshape(n_s + 1, 3)
+
+    # back-substitution for interiors
+    x_int = (xb
+             - (XB @ x_sep[:-1][..., None])[..., 0]
+             - (XC @ x_sep[1:][..., None])[..., 0])    # [K, 3m]
+    x = jnp.zeros((n_pad, 3), dt)
+    x = x.at[::C].set(x_sep)
+    interior_rows = x[1:].reshape(n_s, C, 3).at[:, :m].set(
+        x_int.reshape(n_s, m, 3))
+    x = x.at[1:].set(interior_rows.reshape(n_pad - 1, 3))
     return x[:n]

@@ -63,3 +63,23 @@ def test_bcr_matches_thomas_large(rng):
     x1 = np.asarray(thomas_solve(Dj, Uj, bj))
     x2 = np.asarray(bcr_solve(Dj, Uj, bj))
     np.testing.assert_allclose(x1, x2, rtol=3e-3, atol=3e-3)
+
+
+def test_schur_matches_dense(rng):
+    from hitl_slam_tpu.solver.tridiag import schur_solve
+
+    for n in (33, 64, 100, 129, 257):
+        D, U, b = _random_spd_tridiag(rng, n)
+        x_ref = np.linalg.solve(_dense(D, U), b.reshape(-1)).reshape(n, 3)
+        x = np.asarray(schur_solve(
+            jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+            jnp.asarray(b, jnp.float32), chunk=16))
+        np.testing.assert_allclose(x, x_ref, rtol=6e-3, atol=6e-3,
+                                   err_msg=f"n={n}")
+    # small-n fallback path
+    D, U, b = _random_spd_tridiag(rng, 12)
+    x_ref = np.linalg.solve(_dense(D, U), b.reshape(-1)).reshape(12, 3)
+    x = np.asarray(schur_solve(jnp.asarray(D, jnp.float32),
+                               jnp.asarray(U, jnp.float32),
+                               jnp.asarray(b, jnp.float32)))
+    np.testing.assert_allclose(x, x_ref, rtol=5e-3, atol=5e-3)
