@@ -1,0 +1,161 @@
+"""Online EnML: producer/consumer localization frontend.
+
+The reference's online mode (VectorMapping::SensorUpdate/OdometryUpdate,
+vector_mapping.cpp:2913-2933, with the pthread mutex + semaphore protocol
+documented at vector_mapping.h:491-520): sensor callbacks enqueue
+observations; a background update thread folds them into the episode and
+re-localizes the active window.
+
+Here the protocol is a thread-safe queue + a daemon worker; the device solve
+is the same jitted window GN used by the batch localizer, so online updates
+reuse the compiled program. Host threading only feeds the device — the
+compute path never runs concurrently with itself.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from .driver import EpisodeOptions, generate_normals_np
+from .localizer import EnmlOptions
+
+
+@dataclass
+class _SensorMsg:
+    ranges: np.ndarray
+    angles: np.ndarray
+
+
+@dataclass
+class _OdometryMsg:
+    rel: np.ndarray   # (dx, dy, dtheta) since last message
+
+
+class OnlineLocalizer:
+    """Feed odometry_update()/sensor_update() from callbacks; read pose()."""
+
+    def __init__(self, episode_options: EpisodeOptions = EpisodeOptions(),
+                 enml_options: EnmlOptions = EnmlOptions(),
+                 max_nodes: int = 4096):
+        self.eo = episode_options
+        self.opts = enml_options
+        self.max_nodes = max_nodes
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._acc = np.zeros(3)
+        self._pose = np.zeros(3)
+        self.poses: list[np.ndarray] = []
+        self.clouds: list[np.ndarray] = []
+        self.normals: list[np.ndarray] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._window_fn = None
+
+    # -- producer side (sensor callbacks) ------------------------------------
+
+    def odometry_update(self, dx: float, dy: float, dtheta: float):
+        self._queue.put(_OdometryMsg(np.array([dx, dy, dtheta])))
+
+    def sensor_update(self, ranges: np.ndarray, angles: np.ndarray):
+        self._queue.put(_SensorMsg(np.asarray(ranges), np.asarray(angles)))
+
+    def pose(self) -> np.ndarray:
+        """Latest pose estimate (thread safe)."""
+        with self._lock:
+            return self._pose.copy()
+
+    def node_count(self) -> int:
+        with self._lock:
+            return len(self.poses)
+
+    # -- consumer side --------------------------------------------------------
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._queue.put(None)
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def drain(self, timeout: float = 5.0):
+        """Block until the queue is empty (for tests/synchronous use)."""
+        import time
+
+        t0 = time.time()
+        while not self._queue.empty() and time.time() - t0 < timeout:
+            time.sleep(0.01)
+
+    def _run(self):
+        while not self._stop.is_set():
+            msg = self._queue.get()
+            if msg is None:
+                break
+            if isinstance(msg, _OdometryMsg):
+                self._integrate_odometry(msg.rel)
+            elif isinstance(msg, _SensorMsg):
+                self._maybe_add_node(msg)
+
+    def _integrate_odometry(self, rel):
+        c, s = np.cos(self._acc[2]), np.sin(self._acc[2])
+        self._acc[:2] += np.array([[c, -s], [s, c]]) @ rel[:2]
+        self._acc[2] += rel[2]
+
+    def _maybe_add_node(self, msg: _SensorMsg):
+        eo = self.eo
+        if self.poses and (
+            np.linalg.norm(self._acc[:2]) < eo.minimum_node_translation
+            and abs(self._acc[2]) < eo.minimum_node_rotation
+        ):
+            return
+        r, a = msg.ranges, msg.angles
+        ok = np.isfinite(r) & (r > eo.min_point_cloud_range) & (
+            r < eo.max_point_cloud_range)
+        pts = np.stack([r[ok] * np.cos(a[ok]), r[ok] * np.sin(a[ok])], -1)
+        pts, nrm = generate_normals_np(
+            pts.astype(np.float32), eo.max_normal_point_distance)
+        if len(pts) == 0:
+            return
+        with self._lock:
+            c, s = np.cos(self._pose[2]), np.sin(self._pose[2])
+            self._pose = np.array([
+                *(self._pose[:2] + np.array([[c, -s], [s, c]]) @ self._acc[:2]),
+                self._pose[2] + self._acc[2],
+            ])
+            self.poses.append(self._pose.copy())
+            self.clouds.append(pts)
+            self.normals.append(nrm)
+        self._acc[:] = 0.0
+        self._relocalize_window()
+
+    def _relocalize_window(self):
+        """Re-solve the trailing episode window on device."""
+        W = self.opts.max_history
+        with self._lock:
+            n = len(self.poses)
+            if n < W:
+                return   # fixed window size -> the jitted program never
+                         # retraces once warm
+            lo = n - W
+            poses = np.stack(self.poses[lo:])
+            clouds = self.clouds[lo:]
+            normals = self.normals[lo:]
+
+        from ...core.state import make_map_state
+        from .localizer import batch_localize
+
+        st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
+                            clouds, normals, max_points=384)
+        new_poses, _ = batch_localize(st.points, st.normals, st.point_mask,
+                                      st.poses, self.opts)
+        new_poses = np.asarray(new_poses)
+        with self._lock:
+            for k in range(len(new_poses)):
+                self.poses[lo + k] = new_poses[k]
+            self._pose = new_poses[-1].copy()

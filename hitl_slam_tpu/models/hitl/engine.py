@@ -168,6 +168,26 @@ class HitLSLAM:
         self.input_history[-1].undone = 1
         return True
 
+    # -- observability -----------------------------------------------------
+
+    def get_cost_breakdown(self) -> dict:
+        """Current odometry/human factor cost split at the present poses —
+        the GetCeresCost analog (JointOptimization.cpp:342-344)."""
+        import jax.numpy as jnp
+
+        from ...ops import residuals as R
+        from ...solver.joint import build_problem
+
+        st = self.state
+        prob = build_problem(st.poses, st.constraints)
+        r_o = R.odometry_residuals(prob.odom, st.poses)
+        r_h = R.human_residuals(prob.human, st.poses)
+        return {
+            "odometry_cost": float(0.5 * jnp.sum(r_o * r_o)),
+            "human_cost": float(0.5 * jnp.sum(r_h * r_h)),
+            "num_active_constraints": int(jnp.sum(st.constraints.active)),
+        }
+
     # -- post-human STF refinement -----------------------------------------
 
     def post_optimize(self, max_iterations: int = 30) -> CycleReport:
@@ -249,6 +269,14 @@ class HitLSLAM:
         ))
         timer.lap("cycle_step")
         self.num_completed_cycles += 1
+
+        # failure detection / recovery: a non-finite solve leaves the session
+        # state untouched (the reference exit(1)s on ceres::FAILURE,
+        # JointOptimization.cpp:1123-1127 — we recover instead)
+        if bool(order_valid) and bool(verified) and not np.isfinite(c1):
+            return CycleReport(False, "solver diverged (non-finite cost); "
+                               "state preserved",
+                               timings_ms=timer.laps_ms())
 
         if not bool(verified):
             return CycleReport(False, "input not verified near observations",

@@ -62,11 +62,14 @@ def solve(
 ) -> LMResult:
     """Run LM from poses0. Static over pose count; jit/vmap-safe.
 
-    Linear solver: Schur-partitioned batched-dense (MXU) for big chains,
-    cyclic reduction for small ones; overridable.
+    Default linear solver: block cyclic reduction. (The Schur-partitioned
+    MXU path in tridiag.schur_solve is available as an override, but TPU's
+    batched jnp.linalg.solve is numerically weaker than the adjugate-based
+    BCR arithmetic — measured on hardware, LM step quality degrades enough
+    to stall the damping loop, so BCR stays the default.)
     """
     if linear_solver is None:
-        linear_solver = schur_solve if poses0.shape[0] >= 64 else bcr_solve
+        linear_solver = bcr_solve
     dtype = poses0.dtype
     c0 = joint_cost(problem, poses0)
 

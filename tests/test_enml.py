@@ -83,3 +83,44 @@ def test_batch_localize_improves_consistency(episodes, tmp_path):
     data = stfs.load_stfs_covars(str(tmp_path / "enml_out.stfs.covars"))
     assert data.poses.shape == new_poses.shape
     np.testing.assert_allclose(data.poses, new_poses, atol=2e-3)
+
+
+def test_online_localizer(stream):
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions
+    from hitl_slam_tpu.models.enml.online import OnlineLocalizer
+
+    scans, angles, rel, gt, walls = stream
+    loc = OnlineLocalizer(
+        EpisodeOptions(clip_low=10, clip_high=10),
+        EnmlOptions(max_history=6, gn_iterations=4, match_rounds=1),
+    )
+    loc.start()
+    try:
+        for i in range(60):
+            loc.odometry_update(*[float(v) for v in rel[i]])
+            loc.sensor_update(scans[i], angles)
+        loc.drain(timeout=120.0)
+        assert loc.node_count() > 5
+        p = loc.pose()
+        assert np.isfinite(p).all()
+        # online estimate should track ground truth to within drift scale;
+        # compare in gt[0]'s frame (odometry can't know the absolute start)
+        c, s = np.cos(-gt[0][2]), np.sin(-gt[0][2])
+        gt_rel = np.array([[c, -s], [s, c]]) @ (gt[59][:2] - gt[0][:2])
+        assert np.linalg.norm(p[:2] - gt_rel) < 2.0
+    finally:
+        loc.stop()
+
+
+def test_engine_cost_breakdown(episodes):
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    poses, pcs, ncs, rels = episodes
+    eng = HitLSLAM()
+    eng.init(poses, np.tile(np.eye(3, dtype=np.float32) * 1e-4,
+                            (len(poses), 1, 1)), pcs, ncs,
+             constraint_capacity=64)
+    bd = eng.get_cost_breakdown()
+    assert bd["num_active_constraints"] == 0
+    assert bd["human_cost"] == 0.0
+    assert bd["odometry_cost"] < 1e-3  # targets built from current poses
