@@ -117,6 +117,50 @@ def main():
     _, cpu_cost, cpu_iters = cpu_lm_solve(start_poses, np_table)
     cpu_solve_ms = (time.perf_counter() - t0) * 1e3
 
+    # ---- secondary configs ----
+    import jax
+    import jax.numpy as jnp
+
+    from hitl_slam_tpu.solver.joint import build_problem
+    from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
+
+    # (a) BASELINE config #4 scale: ~10^4-pose sparse joint solve
+    big_P = 8192
+    rng = np.random.default_rng(3)
+    chain = np.zeros((big_P, 3), np.float32)
+    heads = np.cumsum(rng.normal(0, 0.05, big_P)).astype(np.float32)
+    chain[:, 2] = heads
+    chain[1:, 0] = np.cumsum(0.4 * np.cos(heads[:-1]))
+    chain[1:, 1] = np.cumsum(0.4 * np.sin(heads[:-1]))
+    big_tbl = jax.tree_util.tree_map(lambda x: x, tbl)  # reuse constraint table
+    big_tbl = type(tbl)(
+        ctype=tbl.ctype, constrained=tbl.constrained % big_P,
+        anchor=tbl.anchor % big_P, delta_parallel=tbl.delta_parallel,
+        delta_perpendicular=tbl.delta_perpendicular,
+        delta_angle=tbl.delta_angle, penalty_dir=tbl.penalty_dir,
+        active=tbl.active,
+    )
+    prob_big = build_problem(jnp.asarray(chain), big_tbl)
+    cfg20 = LMConfig(max_iterations=20)
+    r = solve_jit(prob_big, jnp.asarray(chain), cfg20)  # warmup/compile
+    jax.block_until_ready(r.poses)
+    t0 = time.perf_counter()
+    r = solve_jit(prob_big, jnp.asarray(chain), cfg20)
+    jax.block_until_ready(r.poses)
+    big_solve_ms = (time.perf_counter() - t0) * 1e3
+
+    # (b) BASELINE config #5: 32 perturbed replicas via vmap
+    from hitl_slam_tpu.parallel.replicas import batched_solve, make_perturbed_replicas
+
+    reps, btable = make_perturbed_replicas(
+        np.asarray(eng.state.poses), tbl, num_replicas=32)
+    rb = batched_solve(reps, btable, cfg20)  # warmup/compile
+    jax.block_until_ready(rb.poses)
+    t0 = time.perf_counter()
+    rb = batched_solve(reps, btable, cfg20)
+    jax.block_until_ready(rb.poses)
+    replica_ms = (time.perf_counter() - t0) * 1e3
+
     last = accepted[-1]
     # compare like-for-like: CPU ran only the joint solve; add the measured
     # device-side non-solve stages to the CPU figure at parity (they are
@@ -141,6 +185,10 @@ def main():
             "lm_iterations": [r.lm_iterations for r in accepted],
             "final_costs": [r.final_cost for r in accepted],
             "num_constraints": int(np.asarray(tbl.active).sum()),
+            "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
+            "replica32_batch_20iter_ms": round(replica_ms, 2),
+            "replica32_throughput_solves_per_s": round(
+                32.0 / (replica_ms / 1e3), 1),
             "cpu_solve_ms": round(cpu_solve_ms, 1),
             "cpu_iters": cpu_iters,
             "cpu_final_cost": cpu_cost,

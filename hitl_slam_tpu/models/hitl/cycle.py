@@ -62,20 +62,23 @@ def cycle_step(
     write_offset: Array,  # scalar int32
     lm_config: LMConfig = LMConfig(),
 ) -> CycleOutput:
+    from ...ops.pallas_em import em_scan
+
     world = pose_to_world(poses[:, None, :], points)
 
-    # --- verification (HitLSLAM::verifyUserInput) ---
-    near = em_input.verify_input(world, point_mask, sel_raw)
+    # --- verification (HitLSLAM::verifyUserInput) — Pallas sweep ---
+    _, min_d2 = em_scan(world, point_mask, sel_raw)
     degenerate = jnp.all(sel_raw[0] == sel_raw[1]) | jnp.all(
         sel_raw[2] == sel_raw[3]
     )
-    verified = jnp.all(near) & ~degenerate
+    verified = jnp.all(min_d2 < em_input.VERIFY_THRESHOLD**2) & ~degenerate
 
-    # --- EM: refit both sketched segments, count inliers ---
+    # --- EM: refit both sketched segments, count inliers (Pallas sweep) ---
     seg_a = em_input.endpoint_adjust(world, point_mask, sel_raw[0:2])
     seg_b = em_input.endpoint_adjust(world, point_mask, sel_raw[2:4])
     refit = jnp.concatenate([seg_a, seg_b], axis=0)
-    c1, c2 = em_input.observation_counts(world, point_mask, refit)
+    counts, _ = em_scan(world, point_mask, refit)
+    c1, c2 = counts[:, 0], counts[:, 1]
 
     # --- ordering / filtering on device ---
     o = order_on_device(c1, c2, refit)
