@@ -58,7 +58,14 @@ def main(argv=None) -> int:
     lm_config = LMConfig(**cfg.get("lm", {})) if cfg else LMConfig()
 
     print(f"loading pose graph: {args.pose_graph}")
-    data = stfs.load_stfs_covars(args.pose_graph)
+    try:
+        data = stfs.load_stfs_covars(args.pose_graph)
+    except (OSError, ValueError, AssertionError) as e:
+        # reference behavior: clean error + nonzero exit
+        # (HitLSLAM_main.cpp:215-218)
+        print(f"ERROR: Unable to open specified pose-graph file: "
+              f"{args.pose_graph} ({e})", file=sys.stderr)
+        return 1
     print(f"loaded {len(data.poses)} poses, "
           f"{sum(len(pc) for pc in data.point_clouds)} points "
           f"(map '{data.map_name}')")
@@ -69,7 +76,12 @@ def main(argv=None) -> int:
 
     input_log = []
     if args.log:
-        input_log = logs.load_log(args.log)
+        try:
+            input_log = logs.load_log(args.log)
+        except (OSError, ValueError, IndexError) as e:
+            print(f"ERROR: Unable to parse correction log: {args.log} ({e})",
+                  file=sys.stderr)
+            return 1
         print(f"loaded {len(input_log)} logged corrections from {args.log}")
 
     def save_results():
