@@ -133,3 +133,31 @@ def save_results_poses(path: str, poses: np.ndarray) -> None:
     with open(path, "w") as f:
         for p in poses:
             f.write(f"{p[0]:f} {p[1]:f} {p[2]:f}\n")
+
+
+def save_stfs(
+    path: str,
+    map_name: str,
+    timestamp: float,
+    poses: np.ndarray,
+    point_clouds: list[np.ndarray],
+) -> None:
+    """Covariance-free variant (`SaveStfs`, vector_mapping_main.cpp:1930-1987):
+    map name, timestamp, then `pose_x,pose_y,pose_theta, px,py` world-frame
+    rows."""
+    with open(path, "w") as f:
+        f.write(f"{map_name}\n{timestamp:f}\n")
+        for i in range(len(poses)):
+            x, y, th = (float(v) for v in poses[i])
+            R = _rot(np.float64(th))
+            wp = point_clouds[i] @ R.T + np.array([x, y])
+            for j in range(len(wp)):
+                f.write(f"{x:.4f},{y:.4f},{th:.4f}, {wp[j,0]:.4f},{wp[j,1]:.4f}\n")
+
+
+def save_odometry(path: str, rel_poses: np.ndarray) -> None:
+    """Relative odometry dump (`Odom.txt`, vector_mapping_main.cpp:2386-2395):
+    one `dx dy dtheta` row per pose node."""
+    with open(path, "w") as f:
+        for r in rel_poses:
+            f.write(f"{r[0]:f} {r[1]:f} {r[2]:f}\n")

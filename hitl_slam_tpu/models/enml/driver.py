@@ -80,9 +80,17 @@ def build_episodes(
     scan_angles: np.ndarray,          # [R] beam angles
     rel_odometry: np.ndarray,         # [T, 3] per-scan relative (dx, dy, dth)
     options: EpisodeOptions = EpisodeOptions(),
+    keyframes: set[int] | None = None,
+    laser_corrections: np.ndarray | None = None,
 ):
     """Node gating + cloud construction. Returns (poses [P,3] odometry-
-    integrated, point_clouds, normal_clouds, rel_poses [P,3])."""
+    integrated, point_clouds, normal_clouds, rel_poses [P,3]).
+
+    `keyframes` (scan indices) force node creation regardless of motion
+    gating, like the reference's keyframe timestamp list (AddPose :1091-1095).
+    `laser_corrections` is an optional per-angle multiplicative range
+    calibration table over [-pi, pi) (use_laser_corrections_, :1148-1154).
+    """
     o = options
     acc_t = np.zeros(2)
     acc_th = 0.0
@@ -90,17 +98,24 @@ def build_episodes(
     glob_th = 0.0
     poses, pcs, ncs, rels = [], [], [], []
     first = True
-    for ranges, rel in zip(scans, rel_odometry):
+    for scan_idx, (ranges, rel) in enumerate(zip(scans, rel_odometry)):
         acc_t = acc_t + _rot(acc_th) @ rel[:2]
         acc_th = acc_th + rel[2]
-        if not first and (np.linalg.norm(acc_t) < o.minimum_node_translation
-                          and abs(acc_th) < o.minimum_node_rotation):
+        keyframe = keyframes is not None and scan_idx in keyframes
+        if (not first and not keyframe
+                and np.linalg.norm(acc_t) < o.minimum_node_translation
+                and abs(acc_th) < o.minimum_node_rotation):
             continue
         glob_t = _rot(glob_th) @ acc_t + glob_t
         glob_th = glob_th + acc_th
 
         r = np.asarray(ranges, np.float32)
         a = np.asarray(scan_angles, np.float32)
+        if laser_corrections is not None:
+            idx = np.floor((a + np.pi) / (2 * np.pi)
+                           * len(laser_corrections)).astype(int)
+            r = r * laser_corrections[np.clip(idx, 0,
+                                              len(laser_corrections) - 1)]
         lo, hi = o.clip_low, max(o.clip_low, len(r) - o.clip_high)
         r, a = r[lo:hi], a[lo:hi]
         ok = (np.isfinite(r) & (r > o.min_point_cloud_range)
@@ -196,4 +211,6 @@ def localize_and_save(
     stfs.save_stfs_covars(out_prefix + ".stfs.covars", map_name, timestamp,
                           new_poses, covs, point_clouds, normal_clouds)
     stfs.save_results_poses(out_prefix + ".poses", new_poses)
+    stfs.save_stfs(out_prefix + ".stfs", map_name, timestamp, new_poses,
+                   point_clouds)
     return new_poses, covs
