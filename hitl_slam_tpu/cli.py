@@ -162,6 +162,16 @@ def main(argv=None) -> int:
                     np.asarray(ev.mouse_up))
                 publish()
 
+        def on_capture(filename: str):
+            # LocalizationGuiCaptureSrv equivalent: headless render to PNG
+            from .ops.raster import render_map
+            from .utils.image import write_png
+
+            st = engine.state
+            img = render_map(st.world_points(), st.point_mask, st.poses)
+            write_png(filename, np.asarray(img))
+            print(f"captured map to {filename}")
+
         def on_key(ev):
             if ev.keycode == 0x50:      # 'p'
                 correction_mode["on"] = not correction_mode["on"]
@@ -183,6 +193,7 @@ def main(argv=None) -> int:
 
         server.on_mouse_click = on_click
         server.on_keyboard = on_key
+        server.on_capture = on_capture
         server.start()
         publish()
         print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "

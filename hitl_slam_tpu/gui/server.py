@@ -31,6 +31,9 @@ class GuiServer:
         self.clients: set = set()
         self.on_mouse_click: Callable[[MouseClickEvent], None] | None = None
         self.on_keyboard: Callable[[KeyboardEvent], None] | None = None
+        # capture service (LocalizationGuiCaptureSrv analog): client sends
+        # {"type": "capture", "filename": ...}
+        self.on_capture: Callable[[str], None] | None = None
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
@@ -45,6 +48,10 @@ class GuiServer:
                     await asyncio.to_thread(self.on_mouse_click, ev)
                 elif isinstance(ev, KeyboardEvent) and self.on_keyboard:
                     await asyncio.to_thread(self.on_keyboard, ev)
+                elif (isinstance(ev, dict) and ev.get("type") == "capture"
+                      and self.on_capture):
+                    await asyncio.to_thread(
+                        self.on_capture, str(ev.get("filename", "capture.png")))
         finally:
             self.clients.discard(ws)
 

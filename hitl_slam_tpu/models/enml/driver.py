@@ -214,3 +214,37 @@ def localize_and_save(
     stfs.save_stfs(out_prefix + ".stfs", map_name, timestamp, new_poses,
                    point_clouds)
     return new_poses, covs
+
+
+def consistency_image(poses: np.ndarray, point_clouds: list[np.ndarray],
+                      path: str | None = None,
+                      max_pair_dist: float = 10.0,
+                      sample: int = 48) -> np.ndarray:
+    """[P, P] pairwise inconsistency matrix normalized to uint8 — the
+    consistency%d.png observability artifact (EvaluateConsistency,
+    vector_mapping_main.cpp:1742-1830), with mean cross-scan NN distance in
+    place of the reference's SDF-overlap count."""
+    P = len(poses)
+    worlds = []
+    for i in range(P):
+        pc = point_clouds[i]
+        if len(pc) > sample:
+            pc = pc[np.linspace(0, len(pc) - 1, sample).astype(int)]
+        worlds.append(pc @ _rot(poses[i, 2]).T + poses[i, :2])
+    img = np.zeros((P, P), np.float64)
+    for i in range(P):
+        for j in range(i + 1, P):
+            if np.linalg.norm(poses[i, :2] - poses[j, :2]) > max_pair_dist:
+                continue
+            d = np.linalg.norm(
+                worlds[i][:, None, :] - worlds[j][None, :, :], axis=-1)
+            nn = d.min(axis=1)
+            close = nn[nn < 0.5]
+            v = close.mean() if len(close) else 0.0
+            img[i, j] = img[j, i] = v
+    out = (255.0 * img / max(img.max(), 1e-9)).astype(np.uint8)
+    if path:
+        from ...utils.image import write_png
+
+        write_png(path, out)
+    return out

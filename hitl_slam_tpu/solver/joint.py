@@ -81,8 +81,21 @@ def normal_equations(
     g = g.at[1:].add((J2T @ r_o[..., None])[..., 0])
 
     JhT = jnp.swapaxes(Jh, -1, -2)
-    D = D.at[problem.human.pose_idx].add(JhT @ Jh)
-    g = g.at[problem.human.pose_idx].add((JhT @ r_h[..., None])[..., 0])
+    D_h = JhT @ Jh                                           # [C,3,3]
+    g_h = (JhT @ r_h[..., None])[..., 0]                     # [C,3]
+    C = problem.human.pose_idx.shape[0]
+    if P * C <= 32 * 1024 * 1024:
+        # TPU scatter-add serializes on colliding indices (~4 ms/iteration at
+        # C=8k in practice); a one-hot contraction puts the same reduction on
+        # the MXU in microseconds. one-hot is [C, P] f32, budget-gated.
+        onehot = (
+            problem.human.pose_idx[:, None] == jnp.arange(P)[None, :]
+        ).astype(poses.dtype)
+        D = D + jnp.einsum("cp,cij->pij", onehot, D_h)
+        g = g + jnp.einsum("cp,ci->pi", onehot, g_h)
+    else:
+        D = D.at[problem.human.pose_idx].add(D_h)
+        g = g.at[problem.human.pose_idx].add(g_h)
 
     # gauge fix pose 0
     eye = jnp.eye(3, dtype=poses.dtype)

@@ -124,3 +124,37 @@ def test_engine_cost_breakdown(episodes):
     assert bd["num_active_constraints"] == 0
     assert bd["human_cost"] == 0.0
     assert bd["odometry_cost"] < 1e-3  # targets built from current poses
+
+
+def test_keyframes_and_corrections_and_artifacts(stream, tmp_path):
+    from hitl_slam_tpu.io import stfs as stfs_io
+    from hitl_slam_tpu.models.enml.driver import consistency_image
+
+    scans, angles, rel, gt, walls = stream
+    # keyframes force nodes even with a huge gating threshold
+    opts = EpisodeOptions(minimum_node_translation=1e9,
+                          minimum_node_rotation=1e9,
+                          clip_low=10, clip_high=10)
+    poses, pcs, _, rels = build_episodes(scans[:40], angles, rel[:40], opts,
+                                         keyframes={0, 10, 20})
+    assert len(poses) == 3
+    # laser corrections scale ranges
+    corr = np.full(64, 2.0, np.float32)
+    poses2, pcs2, _, _ = build_episodes(scans[:1], angles, rel[:1],
+                                        EpisodeOptions(clip_low=10, clip_high=10),
+                                        laser_corrections=corr)
+    poses3, pcs3, _, _ = build_episodes(scans[:1], angles, rel[:1],
+                                        EpisodeOptions(clip_low=10, clip_high=10))
+    assert np.linalg.norm(pcs2[0], axis=1).mean() > 1.5 * np.linalg.norm(
+        pcs3[0], axis=1).mean()
+    # odometry + stfs (no covars) writers
+    stfs_io.save_odometry(str(tmp_path / "Odom.txt"), rels)
+    assert len(np.loadtxt(str(tmp_path / "Odom.txt"))) == len(rels)
+    stfs_io.save_stfs(str(tmp_path / "m.stfs"), "M", 0.0, poses, pcs)
+    lines = open(tmp_path / "m.stfs").read().splitlines()
+    assert len(lines) == 2 + sum(len(p) for p in pcs)
+    # consistency image artifact
+    img = consistency_image(poses, pcs, str(tmp_path / "cons.png"))
+    assert img.shape == (3, 3)
+    with open(tmp_path / "cons.png", "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
