@@ -105,14 +105,18 @@ def test_gui_server_roundtrip():
     server = GuiServer(port=8791)
     clicks = []
     keys = []
+    captures = []
     server.on_mouse_click = clicks.append
     server.on_keyboard = keys.append
+    server.on_capture = captures.append
     server.start()
     try:
         async def client():
             async with websockets.connect("ws://127.0.0.1:8791") as ws:
                 await ws.send(MouseClickEvent((1, 2), (3, 4), 4).to_json())
                 await ws.send(KeyboardEvent(0x50).to_json())
+                await ws.send(json.dumps({"type": "capture",
+                                          "filename": "shot.png"}))
                 # wait for the engine to broadcast a frame
                 dl = DrawList()
                 dl.draw_point((9.0, 9.0), 0xFF0000)
@@ -130,6 +134,7 @@ def test_gui_server_roundtrip():
         server.stop()
     assert clicks and clicks[0].modifiers == 4
     assert keys and keys[0].keycode == 0x50
+    assert captures == ["shot.png"]
     assert received["frame"]["points"] == [[9.0, 9.0]]
 
 
