@@ -1,0 +1,33 @@
+"""Golden-session regression: a committed stfs + log pair must replay to the
+committed poses across rounds/refactors (the reference's recorded-log
+regression method, SURVEY.md section 4, made an actual CI check).
+
+Tolerance is loose (2 cm / 0.01 rad) so numeric-path changes (solver swaps,
+precision tweaks) pass while behavioral regressions fail.
+"""
+
+import os
+
+import numpy as np
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_golden_session_replay():
+    from hitl_slam_tpu.io import logs, stfs
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    data = stfs.load_stfs_covars(os.path.join(DATA, "golden.stfs.covars"))
+    eng = HitLSLAM()
+    eng.init(data.poses, data.covariances, data.point_clouds,
+             data.normal_clouds, constraint_capacity=256)
+    entries = logs.load_log(os.path.join(DATA, "golden.log"))
+    for e in entries:
+        rep = eng.replay_log(e)
+        assert rep.accepted, rep.reason
+    expected = np.loadtxt(os.path.join(DATA, "golden_expected_poses.txt"))
+    got = eng.get_poses()
+    np.testing.assert_allclose(got[:, :2], expected[:, :2], atol=0.02)
+    dth = np.arctan2(np.sin(got[:, 2] - expected[:, 2]),
+                     np.cos(got[:, 2] - expected[:, 2]))
+    np.testing.assert_allclose(dth, 0.0, atol=0.01)
