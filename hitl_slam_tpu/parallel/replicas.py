@@ -33,7 +33,9 @@ def batched_solve(
     """vmap of problem build + LM solve over the replica axis."""
 
     def one(poses_b, table_b):
-        problem = build_problem(poses_b, table_b)
+        # no one-hot cache: under vmap the [C, P] selector would be
+        # materialized per replica (B x 32 MB at bench scale)
+        problem = build_problem(poses_b, table_b, use_onehot=False)
         return lm_solve(problem, poses_b, config)
 
     return jax.vmap(one)(poses, table)

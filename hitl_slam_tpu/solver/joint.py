@@ -27,18 +27,41 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class JointProblem:
-    """All factor constants for one solve, fixed at build time."""
+    """All factor constants for one solve, fixed at build time.
+
+    `human_onehot` ([C, P] f32 or None) caches the constraint->pose scatter
+    as a dense selector so per-iteration assembly is a single MXU
+    contraction instead of a serialized TPU scatter-add; it is constant for
+    the duration of a solve, so it is built once here.
+    """
 
     odom: res.OdometryFactors
     human: res.HumanFactors
+    human_onehot: Array | None = None
     num_poses: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
-def build_problem(poses: Array, table: ConstraintTable) -> JointProblem:
+# max elements of the dense [C, P] selector before falling back to scatter
+ONEHOT_BUDGET = 32 * 1024 * 1024
+
+
+def build_problem(poses: Array, table: ConstraintTable,
+                  use_onehot: bool = True) -> JointProblem:
+    P = poses.shape[0]
+    human = res.build_human_factors(poses, table)
+    C = human.pose_idx.shape[0]
+    onehot = None
+    # callers that vmap over replicas should pass use_onehot=False: the
+    # selector is per-example, so a batch multiplies its footprint
+    if use_onehot and P * C <= ONEHOT_BUDGET:
+        onehot = (
+            human.pose_idx[:, None] == jnp.arange(P)[None, :]
+        ).astype(poses.dtype)
     return JointProblem(
         odom=res.build_odometry_factors(poses),
-        human=res.build_human_factors(poses, table),
-        num_poses=poses.shape[0],
+        human=human,
+        human_onehot=onehot,
+        num_poses=P,
     )
 
 
@@ -83,16 +106,12 @@ def normal_equations(
     JhT = jnp.swapaxes(Jh, -1, -2)
     D_h = JhT @ Jh                                           # [C,3,3]
     g_h = (JhT @ r_h[..., None])[..., 0]                     # [C,3]
-    C = problem.human.pose_idx.shape[0]
-    if P * C <= 32 * 1024 * 1024:
+    if problem.human_onehot is not None:
         # TPU scatter-add serializes on colliding indices (~4 ms/iteration at
-        # C=8k in practice); a one-hot contraction puts the same reduction on
-        # the MXU in microseconds. one-hot is [C, P] f32, budget-gated.
-        onehot = (
-            problem.human.pose_idx[:, None] == jnp.arange(P)[None, :]
-        ).astype(poses.dtype)
-        D = D + jnp.einsum("cp,cij->pij", onehot, D_h)
-        g = g + jnp.einsum("cp,ci->pi", onehot, g_h)
+        # C=8k, measured); the cached one-hot contraction puts the same
+        # reduction on the MXU.
+        D = D + jnp.einsum("cp,cij->pij", problem.human_onehot, D_h)
+        g = g + jnp.einsum("cp,ci->pi", problem.human_onehot, g_h)
     else:
         D = D.at[problem.human.pose_idx].add(D_h)
         g = g.at[problem.human.pose_idx].add(g_h)
