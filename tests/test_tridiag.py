@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,3 +84,51 @@ def test_schur_matches_dense(rng):
                                jnp.asarray(U, jnp.float32),
                                jnp.asarray(b, jnp.float32)))
     np.testing.assert_allclose(x, x_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_pcg_matches_dense(rng):
+    from hitl_slam_tpu.solver.cg import pcg_solve, pcg_tridiag
+
+    for n in (16, 100, 257):
+        D, U, b = _random_spd_tridiag(rng, n)
+        x_ref = np.linalg.solve(_dense(D, U), b.reshape(-1)).reshape(n, 3)
+        x, rel, it = jax.jit(
+            lambda D_, U_, b_: pcg_solve(D_, U_, b_, tolerance=1e-7)
+        )(jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+          jnp.asarray(b, jnp.float32))
+        assert float(rel) < 1e-5
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=5e-3, atol=5e-3,
+                                   err_msg=f"n={n}")
+    # drop-in interface
+    x2 = pcg_tridiag(jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+                     jnp.asarray(b, jnp.float32))
+    np.testing.assert_allclose(np.asarray(x2), x_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_pcg_with_extra_matvec(rng):
+    """PCG over tridiag + a low-rank extra term (the STF-coupled use case)."""
+    from hitl_slam_tpu.solver.cg import pcg_solve
+
+    n = 40
+    D, U, b = _random_spd_tridiag(rng, n)
+    # extra: rank-deficient PSD coupling between poses 5 and 30
+    J = np.zeros((2, 3 * n))
+    J[0, 15:18] = [1.0, -0.5, 0.2]
+    J[0, 90:93] = [-1.0, 0.5, -0.2]
+    J[1, 16] = 0.7
+    J[1, 91] = -0.7
+    E = J.T @ J
+    H = _dense(D, U) + E
+    x_ref = np.linalg.solve(H, b.reshape(-1)).reshape(n, 3)
+    Ej = jnp.asarray(E, jnp.float32)
+
+    def extra(v):
+        return (Ej @ v.reshape(-1)).reshape(n, 3)
+
+    x, rel, it = jax.jit(
+        lambda D_, U_, b_: pcg_solve(D_, U_, b_, extra_matvec=extra,
+                                     tolerance=1e-7)
+    )(jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+      jnp.asarray(b, jnp.float32))
+    assert float(rel) < 1e-5
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=6e-3, atol=6e-3)
