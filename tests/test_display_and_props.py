@@ -1,0 +1,70 @@
+"""Display draw-list building + property tests on the correction engine."""
+
+import numpy as np
+import pytest
+
+from hitl_slam_tpu.core.state import CorrectionType, SingleInput
+from hitl_slam_tpu.gui.display import display_poses, display_selection
+from hitl_slam_tpu.io.figure8 import generate_figure8, synthesize_correction
+from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+
+def test_display_poses_drawlist(small_state):
+    dl = display_poses(small_state, max_points=500)
+    P = small_state.num_poses
+    assert len(dl.lines_p1) == P - 1            # trajectory polyline
+    assert len(dl.points) <= 500 + P            # subsampled scans + poses
+    assert len(dl.points_col) == len(dl.points)
+    s = dl.to_json()
+    from hitl_slam_tpu.gui.drawlist import DrawList
+
+    back = DrawList.from_json(s)
+    assert back.points == dl.points
+    # selection overlay adds lines + circles
+    display_selection(dl, [np.array([0, 0]), np.array([1, 1])])
+    assert len(dl.circles) == 2
+
+
+def test_random_corrections_never_corrupt_state():
+    """Property: arbitrary (mostly nonsense) correction inputs either get
+    rejected or produce finite poses; undo always restores exactly."""
+    rng = np.random.default_rng(7)
+    m = generate_figure8(num_poses=64, num_rays=90, seed=3,
+                         drift_theta_bias=9e-4)
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             constraint_capacity=512)
+
+    types = [CorrectionType.LINE_SEGMENT, CorrectionType.COLINEAR,
+             CorrectionType.PERPENDICULAR, CorrectionType.PARALLEL]
+    n_accepted = 0
+    for trial in range(8):
+        if trial % 2 == 0:
+            # random garbage clicks somewhere in the map bounding box
+            sel = rng.uniform(-15, 15, (4, 2)).astype(np.float32)
+        else:
+            # plausible wall sketch on the current map
+            try:
+                sel = synthesize_correction(
+                    m, range(40, 64), range(0, 20), (1, 0.0), (1, 0.0),
+                    poses=eng.get_poses())
+            except ValueError:
+                continue
+        before = eng.get_poses()
+        t = types[trial % len(types)]
+        eng.add_correction_points(int(t), sel[0], sel[1])
+        eng.add_correction_points(int(t), sel[2], sel[3])
+        rep = eng.run()
+        poses = eng.get_poses()
+        assert np.isfinite(poses).all(), (trial, rep.reason)
+        if rep.accepted:
+            n_accepted += 1
+            assert eng.undo()
+            np.testing.assert_array_equal(eng.get_poses(), before)
+            # redo the correction so later trials see an evolved map
+            eng.add_correction_points(int(t), sel[0], sel[1])
+            eng.add_correction_points(int(t), sel[2], sel[3])
+            eng.run()
+        else:
+            np.testing.assert_array_equal(poses, before)
+    assert n_accepted >= 1
