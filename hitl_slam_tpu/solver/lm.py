@@ -62,15 +62,19 @@ def solve(
 ) -> LMResult:
     """Run LM from poses0. Static over pose count; jit/vmap-safe.
 
-    Default linear solver: block-Thomas scan. Measured on v5e hardware:
-    thomas 36us vs BCR 191us at P=1024 — the sequential scan compiles to one
-    tight on-chip loop while BCR pays per-op overhead on ~220 small kernels.
-    (The Schur-partitioned MXU path in tridiag.schur_solve is available as an
-    override, but TPU's batched jnp.linalg.solve is numerically weaker than
-    the adjugate-based arithmetic and stalls the damping loop — measured.)
+    Default linear solver: block cyclic reduction. Measured on v5e hardware
+    (full repair workload, not microbenchmarks):
+      - BCR: ~47 ms/repair cycle at P=1024; 8192-pose 20-iter solve 132 ms.
+      - thomas scan: standalone microbenchmark looks 5x faster (36us vs
+        191us), but INSIDE the LM while_loop each scan step costs ~15us and
+        the cycle balloons to ~500 ms (8192-pose solve: 5.1 s). Sequential
+        scans nested in outer loops do not pipeline on this target.
+      - schur_solve (batched-dense MXU): TPU's jnp.linalg.solve is
+        numerically weaker than the adjugate arithmetic and stalls the
+        damping loop.
     """
     if linear_solver is None:
-        linear_solver = thomas_solve
+        linear_solver = bcr_solve
     dtype = poses0.dtype
     c0 = joint_cost(problem, poses0)
 
