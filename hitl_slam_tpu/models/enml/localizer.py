@@ -135,7 +135,7 @@ def _window_gn(
         return tgt, valid
 
     def gn_round(carry, _):
-        poses, _ = carry
+        poses, _unused = carry
         tgt, valid = match(poses)
         s_pose = pose_of
         t_pose = pose_of[tgt]
@@ -241,20 +241,23 @@ def _window_gn(
             g = g.reshape(n3).at[:3].set(0.0)
             return H, g
 
-        def gn_step(poses, _):
+        def gn_step(poses):
             H, g = system(poses)
             diag = jnp.clip(jnp.diagonal(H), 1e-6, 1e32)
             Hd = H + o.damping * jnp.diag(diag)
             step = jnp.linalg.solve(Hd, -g).reshape(W, 3)
-            return poses + step, None
+            return poses + step
 
-        poses, _ = lax.scan(gn_step, poses, None, length=o.gn_iterations)
+        # unrolled: nested sequential lax loops don't pipeline on TPU
+        for _ in range(o.gn_iterations):
+            poses = gn_step(poses)
         H_final, _ = system(poses)
-        return (poses, H_final), None
+        return poses, H_final
 
-    H0 = jnp.eye(3 * W, dtype=w_poses.dtype)
-    (poses, H), _ = lax.scan(gn_round, (w_poses, H0), None,
-                             length=o.match_rounds)
+    H = jnp.eye(3 * W, dtype=w_poses.dtype)
+    poses = w_poses
+    for _ in range(o.match_rounds):
+        poses, H = gn_round((poses, H), None)
     return poses, H
 
 

@@ -4,10 +4,13 @@ TPU redesign of Backprop (Backprop.cpp:98-210). The reference distributes the
 explicit correction (dx, dy, dtheta) over the open backprop window with
 per-pose weights sigma_i / sum(sigma), then applies O(W^2) nested loops:
 each window pose i rotates every later pose (up to the window end) about its
-own current position. That composition is an affine recurrence, so here it is
-a single `lax.scan` composing affine maps (rotation part) plus a prefix sum
-(translation part) — O(P) work, O(P) scan depth, fully shape-static with the
-window expressed as masks so the jit never recompiles for different bounds.
+own current position. That composition closes under prefix sums: with A_i
+the composition of the first i rotation steps, A_i.R = R(cumsum(dtheta)_i)
+and A_i.b accumulates the elementwise increments
+(I - R(dtheta_i)) R(Theta_{i-1}) p_i — two cumsums, no scan at all
+(sequential lax loops do not pipeline inside fused TPU programs). The
+translation stage is a third cumsum. Fully shape-static with the window
+expressed as masks so the jit never recompiles for different bounds.
 
 Weight/variance semantics preserved exactly (Backprop.cpp:106-137):
   rot_sigma_i   = cov[i][2,2]
@@ -74,30 +77,25 @@ def backprop(
         weight_mask[:, None, None], covariances * scale[None], covariances
     )
 
-    # ---- rotation stage: compose rotations about successive pose positions
+    # ---- rotation stage: compose rotations about successive pose positions.
+    # The reference's O(W^2) nested loops (and a naive scan) are avoidable:
+    # with A_i the composition of steps <= i, A_i.R = R(cumsum(dtheta)) and
+    # A_i.b - A_{i-1}.b = (I - R(dtheta_i)) R(Theta_{i-1}) p_i, so BOTH
+    # components are prefix sums of elementwise increments — two cumsums, no
+    # scan (sequential scans do not pipeline inside fused programs on TPU).
     dtheta = w_rot * correction[2]                      # [P], zero outside
     xy = poses[:, :2]
 
-    def rot_step(carry, inp):
-        phi, b = carry                                  # A(x) = R(phi) x + b
-        dth, p_i = inp
-        # current position of pose i under the accumulated transform
-        p_cur = _rot(phi, p_i) + b
-        # new transform: rotate by dth about p_cur, after A
-        c, s = jnp.cos(dth), jnp.sin(dth)
-        b_new = _rot2(c, s, b - p_cur) + p_cur
-        return (phi + dth, b_new), (phi, b)
-
-    (_, _), (phis, bs) = lax.scan(
-        rot_step, (jnp.zeros((), poses.dtype), jnp.zeros(2, poses.dtype)),
-        (dtheta, xy),
-    )
-    # pose k is transformed by the composition of steps min..k-1, which is the
-    # carry value *entering* step k — i.e. (phis[k], bs[k]).
+    theta_inc = jnp.cumsum(dtheta)                      # Theta_i
+    theta_pre = theta_inc - dtheta                      # Theta_{i-1}
+    rot_pre_p = _rot(theta_pre, xy)                     # R(Theta_{i-1}) p_i
+    # (I - R(d_i)) v = v - R(d_i) v
+    b_inc = rot_pre_p - _rot(dtheta, rot_pre_p)
+    bs = jnp.cumsum(b_inc, axis=0) - b_inc              # A_{k-1}.b
+    phis = theta_pre                                    # A_{k-1}.R angle
     new_xy = jnp.where(in_window[:, None], _rot(phis, xy) + bs, xy)
-    theta_prefix = jnp.cumsum(dtheta) - dtheta          # sum_{i<k} dtheta_i
     own = jnp.where(weight_mask, dtheta, 0.0)           # pose i also gets its
-    ang_inc = theta_prefix + own                        # own increment
+    ang_inc = theta_pre + own                           # own increment
     new_th = jnp.where(in_window, poses[:, 2] + ang_inc, poses[:, 2])
 
     # ---- translation stage ----

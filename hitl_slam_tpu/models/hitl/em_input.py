@@ -97,7 +97,13 @@ def _segfit_theta(pts: Array, w: Array, cm: Array, half_len: Array,
         den = jnp.sum(w * jac * jac)
         return theta - num / jnp.maximum(den, 1e-9)
 
-    return lax.fori_loop(0, SEGFIT_ITERS, body, theta0)
+    # Python-unrolled: 25 static GN steps; a fori_loop here costs ~15us per
+    # step when nested inside the endpoint-adjust while_loop (see
+    # solver/lm.py default-solver notes on nested sequential loops).
+    theta = theta0
+    for _ in range(SEGFIT_ITERS):
+        theta = body(0, theta)
+    return theta
 
 
 @jax.jit
