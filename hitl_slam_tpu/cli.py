@@ -32,7 +32,8 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hitl-slam-tpu", description=__doc__)
-    p.add_argument("-P", "--pose-graph", required=True)
+    p.add_argument("-P", "--pose-graph", default=None,
+                   help="required except in --test-mode")
     p.add_argument("-L", "--log", default=None)
     p.add_argument("-V", "--save", default="hitl_results.txt")
     p.add_argument("--replay-all", action="store_true")
@@ -42,11 +43,55 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None)
     p.add_argument("--info-mat", default=None,
                    help="write the factor-adjacency PNG after each solve")
+    p.add_argument("--test-mode", action="store_true",
+                   help="GUI stress mode: stream synthetic draw-lists "
+                        "(reference: vector_display --test-mode)")
     return p
+
+
+def _run_test_mode(port: int) -> int:
+    """Synthetic-drawing benchmark loop (vector_display_thread.cpp:1005-1080):
+    streams rotating lines/points/text frames so viewers can be exercised
+    without a map."""
+    import math
+    import time as _t
+
+    from .gui.drawlist import DrawList
+    from .gui.server import GuiServer
+
+    server = GuiServer(port=port)
+    server.start()
+    print(f"test-mode GUI bridge on ws://127.0.0.1:{port} (Ctrl-C to stop)")
+    t0 = _t.time()
+    frames = 0
+    try:
+        while True:
+            dl = DrawList()
+            phase = (_t.time() - t0)
+            for k in range(64):
+                a = phase + k * math.pi / 32
+                dl.draw_line((0, 0), (10 * math.cos(a), 10 * math.sin(a)),
+                             0x404040 + k * 997)
+                dl.draw_point((6 * math.cos(2 * a), 6 * math.sin(2 * a)),
+                              0xDE2352)
+            dl.draw_text((0, 11), f"frame {frames}", 1.0, 0xFFFFFF)
+            server.publish(dl)
+            frames += 1
+            _t.sleep(1.0 / 60.0)
+    except KeyboardInterrupt:
+        print(f"\n{frames} frames in {_t.time() - t0:.1f}s")
+        server.stop()
+    return 0
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.test_mode:
+        return _run_test_mode(args.gui_port)
+    if not args.pose_graph:
+        print("ERROR: -P/--pose-graph is required", file=sys.stderr)
+        return 2
 
     from .core.state import CorrectionType
     from .io import logs, stfs

@@ -159,3 +159,38 @@ def test_cli_ltvm(session_files, tmp_path):
     assert rc == 0
     lines = open(out + ".vectors.txt").read().strip().splitlines()
     assert len(lines) >= 2
+
+
+def test_cli_test_mode_streams_frames():
+    """--test-mode: synthetic draw-list stream (reference GUI stress mode)."""
+    import asyncio
+    import threading
+
+    import websockets
+
+    from hitl_slam_tpu import cli
+
+    t = threading.Thread(
+        target=lambda: cli.main(["--test-mode", "--gui-port", "8797"]),
+        daemon=True)
+    t.start()
+    time.sleep(1.5)
+
+    frames = []
+
+    async def client():
+        async with websockets.connect("ws://127.0.0.1:8797") as ws:
+            for _ in range(3):
+                frames.append(json.loads(
+                    await asyncio.wait_for(ws.recv(), timeout=5)))
+
+    asyncio.run(client())
+    assert len(frames) == 3
+    assert all(f["type"] == "drawlist" and len(f["lines_p1"]) == 64
+               for f in frames)
+
+
+def test_cli_missing_pose_graph_arg():
+    from hitl_slam_tpu import cli
+
+    assert cli.main(["--replay-all"]) == 2
