@@ -94,6 +94,21 @@ def main():
             reports.append(rep)
         return eng, times, reports
 
+    def gt_error(poses):
+        """Mean position error vs ground truth after optimal rigid alignment
+        (the absolute-trajectory-error convention)."""
+        a = np.asarray(poses[:, :2], np.float64)
+        b = np.asarray(m.gt_poses[:, :2], np.float64)
+        ca, cb = a.mean(0), b.mean(0)
+        H = (a - ca).T @ (b - cb)
+        Uu, _, Vt = np.linalg.svd(H)
+        R = (Uu @ Vt).T
+        if np.linalg.det(R) < 0:
+            Vt[-1] *= -1
+            R = (Uu @ Vt).T
+        aligned = (a - ca) @ R.T + cb
+        return float(np.linalg.norm(aligned - b, axis=1).mean())
+
     # pass 1: compile warmup; pass 2: steady-state timing
     run_session()
     eng, times, reports = run_session()
@@ -185,6 +200,10 @@ def main():
             "lm_iterations": [r.lm_iterations for r in accepted],
             "final_costs": [r.final_cost for r in accepted],
             "num_constraints": int(np.asarray(tbl.active).sum()),
+            "map_error_vs_gt_m": {
+                "before": round(gt_error(m.poses), 4),
+                "after": round(gt_error(eng.get_poses()), 4),
+            },
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(

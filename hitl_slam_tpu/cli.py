@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None)
     p.add_argument("--info-mat", default=None,
                    help="write the factor-adjacency PNG after each solve")
+    p.add_argument("--map", default=None,
+                   help="vector map file for GUI edit mode (add/delete/save "
+                        "line segments over the bridge)")
     p.add_argument("--test-mode", action="store_true",
                    help="GUI stress mode: stream synthetic draw-lists "
                         "(reference: vector_display --test-mode)")
@@ -195,10 +198,26 @@ def main(argv=None) -> int:
         correction_mode = {"on": False}
         replay_idx = {"i": 0}
 
+        vmap = None
+        if args.map:
+            from .gui.map_edit import VectorMapFile
+
+            vmap = VectorMapFile(args.map)
+
         def publish():
             dl = display_poses(engine.state)
             display_selection(dl, engine.selected_points)
+            if vmap is not None:
+                vmap.to_drawlist(dl)
             server.publish(dl)
+
+        def on_map_edit(msg):
+            if vmap is None:
+                return
+            from .gui.map_edit import handle_map_edit
+
+            if handle_map_edit(vmap, msg):
+                publish()
 
         def on_click(ev):
             if correction_mode["on"]:
@@ -239,6 +258,7 @@ def main(argv=None) -> int:
         server.on_mouse_click = on_click
         server.on_keyboard = on_key
         server.on_capture = on_capture
+        server.on_map_edit = on_map_edit
         server.start()
         publish()
         print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "

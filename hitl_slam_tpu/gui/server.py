@@ -34,6 +34,8 @@ class GuiServer:
         # capture service (LocalizationGuiCaptureSrv analog): client sends
         # {"type": "capture", "filename": ...}
         self.on_capture: Callable[[str], None] | None = None
+        # vector-map editing (VectorDisplayThread edit modes analog)
+        self.on_map_edit: Callable[[dict], None] | None = None
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
@@ -52,6 +54,9 @@ class GuiServer:
                       and self.on_capture):
                     await asyncio.to_thread(
                         self.on_capture, str(ev.get("filename", "capture.png")))
+                elif (isinstance(ev, dict) and ev.get("type") == "map_edit"
+                      and self.on_map_edit):
+                    await asyncio.to_thread(self.on_map_edit, ev)
         finally:
             self.clients.discard(ws)
 

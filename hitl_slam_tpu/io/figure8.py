@@ -201,10 +201,18 @@ def wall_points_drifted(
 
 def fit_clicked_segment(pts: np.ndarray) -> np.ndarray:
     """PCA segment through a point blob with endpoints snapped to actual
-    points (a human clicks on rendered observations)."""
+    points (a human clicks on rendered observations).
+
+    The direction sign is canonicalized (positive x, tie-broken by positive
+    y): the correction types interpret the two drawn segments' ORDER as an
+    orientation, and a human sketching the same wall twice draws both in a
+    consistent direction — anti-parallel sketches legitimately command a
+    ~180-degree rotation (in the reference too)."""
     cm = pts.mean(axis=0)
     _, _, vt = np.linalg.svd(pts - cm, full_matrices=False)
     d = vt[0]
+    if d[0] < 0 or (abs(d[0]) < 1e-9 and d[1] < 0):
+        d = -d
     t = (pts - cm) @ d
     lo, hi = np.quantile(t, 0.02), np.quantile(t, 0.98)
     ends = np.stack([cm + lo * d, cm + hi * d])

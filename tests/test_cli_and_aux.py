@@ -194,3 +194,23 @@ def test_cli_missing_pose_graph_arg():
     from hitl_slam_tpu import cli
 
     assert cli.main(["--replay-all"]) == 2
+
+
+def test_map_edit_roundtrip(tmp_path):
+    from hitl_slam_tpu.gui.map_edit import VectorMapFile, handle_map_edit
+
+    path = str(tmp_path / "map.vectors.txt")
+    vm = VectorMapFile(path)
+    assert handle_map_edit(vm, {"op": "add_line", "p1": [0, 0], "p2": [5, 0]})
+    assert handle_map_edit(vm, {"op": "add_line", "p1": [0, 2], "p2": [5, 2]})
+    assert not handle_map_edit(vm, {"op": "save"})
+    vm2 = VectorMapFile(path)
+    assert len(vm2.segments) == 2
+    # delete nearest to (2, 1.8) -> the y=2 line
+    assert handle_map_edit(vm2, {"op": "delete_line", "p": [2, 1.8]})
+    assert len(vm2.segments) == 1
+    assert vm2.segments[0][3] == 0.0
+    # nothing within range
+    assert not handle_map_edit(vm2, {"op": "delete_line", "p": [50, 50]})
+    dl = vm2.to_drawlist()
+    assert len(dl.lines_p1) == 1
