@@ -195,3 +195,48 @@ def cpu_lm_solve(
             if mu >= 1e10:
                 break
     return poses, c, it
+
+
+def scipy_generic_solve(poses0: np.ndarray, table: dict,
+                        max_nfev: int | None = None):
+    """Generic-NLLS CPU baseline: scipy.optimize.least_squares (TRF) with
+    finite-difference Jacobians over a banded+constraint sparsity pattern.
+
+    This is the closer stand-in for the reference's actual solver stack —
+    Ceres autodiff jets + general sparse machinery — whereas cpu_lm_solve is
+    a hand-specialized best-case CPU implementation. Returns
+    (poses, cost, wall_seconds).
+    """
+    import time
+
+    from scipy.optimize import least_squares
+    from scipy.sparse import lil_matrix
+
+    poses0 = poses0.astype(np.float64)
+    P = len(poses0)
+    axis, d, rot = build_odometry_factors_np(poses0)
+    hidx, hM, htarget = build_human_factors_np(poses0, table)
+    inv_sigma = (1.0 / 0.03, 1.0 / 0.03, 1.0 / 0.01)
+    x0 = poses0.reshape(-1)
+
+    def residuals(x):
+        p = x.reshape(P, 3)
+        p = p.copy()
+        p[0] = poses0[0]  # gauge
+        r_o, _, _ = odometry_residuals_jacobians_np(axis, d, rot, p, inv_sigma)
+        r_h = np.einsum("cij,cj->ci", hM, htarget - p[hidx])
+        return np.concatenate([r_o.reshape(-1), r_h.reshape(-1)])
+
+    n_res = 3 * (P - 1) + 3 * len(hidx)
+    S = lil_matrix((n_res, 3 * P), dtype=np.int8)
+    for i in range(P - 1):
+        S[3 * i : 3 * i + 3, 3 * i : 3 * i + 6] = 1
+    base = 3 * (P - 1)
+    for k, c in enumerate(hidx):
+        S[base + 3 * k : base + 3 * k + 3, 3 * c : 3 * c + 3] = 1
+
+    t0 = time.perf_counter()
+    out = least_squares(residuals, x0, method="trf", jac_sparsity=S,
+                        xtol=1e-8, ftol=1e-6, max_nfev=max_nfev)
+    wall = time.perf_counter() - t0
+    return out.x.reshape(P, 3), 0.5 * float(np.sum(out.fun**2)), wall

@@ -95,3 +95,40 @@ def test_batched_replica_solve(rng):
     # replicas differ but all converge near a common optimum cost scale
     assert np.isfinite(costs).all()
     assert costs.std() < max(costs.mean(), 1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_gspmd_batched_repair_matches_single_device(rng):
+    """The dp x sp GSPMD-sharded batched repair step must produce the same
+    numbers as the unsharded path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as g
+    from hitl_slam_tpu.models.hitl.repair import repair_step
+    from hitl_slam_tpu.solver.lm import LMConfig
+
+    base = g._tiny_inputs(num_poses=32, num_rays=32, constraint_capacity=64)
+    config = LMConfig(max_iterations=5)
+
+    def step(*args):
+        out = repair_step(*args, lm_config=config)
+        return out.poses, out.lm.final_cost
+
+    B = 4
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * B, axis=0), base)
+    ref_poses, ref_cost = jax.vmap(step)(*batched)
+
+    mesh = make_mesh(n_replica=4, n_pose=2)
+
+    def shard(x):
+        if x.ndim >= 2 and x.shape[1] % 2 == 0 and x.shape[1] > 1:
+            return jax.device_put(x, NamedSharding(mesh, P("replica", "pose")))
+        return jax.device_put(x, NamedSharding(mesh, P("replica")))
+
+    sharded = jax.tree_util.tree_map(shard, batched)
+    got_poses, got_cost = jax.jit(jax.vmap(step))(*sharded)
+    np.testing.assert_allclose(np.asarray(got_poses), np.asarray(ref_poses),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_cost), np.asarray(ref_cost),
+                               rtol=1e-4, atol=1e-6)
