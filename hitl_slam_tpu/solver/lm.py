@@ -76,11 +76,14 @@ def solve(
     if linear_solver is None:
         linear_solver = bcr_solve
     dtype = poses0.dtype
-    c0 = joint_cost(problem, poses0)
+    D0, U0, g0, c0 = normal_equations(problem, poses0)
 
+    # Each iteration does exactly ONE fused residual+Jacobian pass — at the
+    # trial point — producing both the acceptance cost and (on accept) the
+    # next iteration's normal equations. A rejected step keeps the carried
+    # system; nothing is reassembled at the unchanged point.
     def body(state):
-        x, mu, nu, c, it, done = state
-        D, U, g, _ = normal_equations(problem, x)
+        x, D, U, g, mu, nu, c, it, done = state
         diag = jnp.clip(
             jnp.diagonal(D, axis1=-2, axis2=-1),
             config.min_diagonal,
@@ -89,7 +92,7 @@ def solve(
         D_damped = D + mu * jax.vmap(jnp.diag)(diag)
         step = linear_solver(D_damped, U, -g)            # [P,3]
         x_new = x + step
-        c_new = joint_cost(problem, x_new)
+        D_new, U_new, g_new, c_new = normal_equations(problem, x_new)
 
         # model decrease for the gain ratio: L(0)-L(step)
         # = -g.step - 0.5 step^T H step;  with H step ~= -g - mu*Dg*step:
@@ -99,6 +102,9 @@ def solve(
 
         accept = (rho > 0) & jnp.isfinite(c_new)
         x = jnp.where(accept, x_new, x)
+        D = jnp.where(accept, D_new, D)
+        U = jnp.where(accept, U_new, U)
+        g = jnp.where(accept, g_new, g)
         c_next = jnp.where(accept, c_new, c)
 
         factor = jnp.maximum(
@@ -117,21 +123,21 @@ def solve(
             <= config.parameter_tolerance * (xnorm + config.parameter_tolerance)
         )
         mdone = mu >= config.mu_collapse
-        return x, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+        return x, D, U, g, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
 
     def cond(state):
-        _, _, _, _, it, done = state
-        return (it < config.max_iterations) & ~done
+        return (state[-2] < config.max_iterations) & ~state[-1]
 
     init = (
-        poses0,
+        poses0, D0, U0, g0,
         jnp.asarray(config.initial_mu, dtype),
         jnp.asarray(2.0, dtype),
         c0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
-    x, _, _, c, it, done = lax.while_loop(cond, body, init)
+    out = lax.while_loop(cond, body, init)
+    x, c, it, done = out[0], out[6], out[7], out[8]
     return LMResult(
         poses=x, final_cost=c, initial_cost=c0, iterations=it, converged=done
     )
