@@ -295,6 +295,13 @@ class HitLSLAM:
         self.prev_covariances = prev_covariances
         self.prev_num_constraints = prev_n
         self.num_constraints += int(n_new)
+        cap = st.constraints.capacity - 1
+        if self.num_constraints > cap:
+            # rows beyond capacity landed in the dump slot and were dropped
+            print(f"WARNING: constraint table full ({cap}); "
+                  f"{self.num_constraints - cap} rows dropped. "
+                  f"Increase constraint_capacity.")
+            self.num_constraints = cap
         self.last_pre_solve_poses = out.pre_solve_poses
         self.state = MapState(
             poses=out.poses, covariances=out.covariances,

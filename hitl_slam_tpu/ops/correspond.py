@@ -157,10 +157,9 @@ def build_stf_factors(
     pose0 = src // N
     pose1 = tgt // N
 
-    # de-duplicate symmetric pairs: keep each (a<->b) match once from the
-    # lower pose id side? The reference adds BOTH directions as separate
-    # bundles; per-match symmetric residuals already cover both normals, so
-    # each matched point contributes one factor.
+    # each matched source point contributes ONE symmetric factor (both
+    # normals in the residual); the reference instead adds both directions
+    # as separate one-sided bundles — same information, half the rows
     valid = matches.valid
 
     # per-(pose0,pose1) bundle sizes for the RMS normalization + min-10 gate

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .joint import JointProblem, cost as joint_cost, normal_equations
+from .joint import JointProblem, normal_equations
 from .tridiag import bcr_solve, schur_solve, thomas_solve
 
 Array = jax.Array
