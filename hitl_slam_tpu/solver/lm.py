@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .joint import JointProblem, normal_equations
-from .tridiag import bcr_solve, schur_solve, thomas_solve
+from .tridiag import bcr_solve
 
 Array = jax.Array
 

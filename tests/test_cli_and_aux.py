@@ -214,3 +214,35 @@ def test_map_edit_roundtrip(tmp_path):
     assert not handle_map_edit(vm2, {"op": "delete_line", "p": [50, 50]})
     dl = vm2.to_drawlist()
     assert len(dl.lines_p1) == 1
+
+
+def test_timing_utilities():
+    from hitl_slam_tpu.utils.timing import FunctionTimer, TimerCollection
+
+    ft = FunctionTimer("t")
+    ft.lap("a")
+    ft.lap("b")
+    assert set(ft.laps_ms()) == {"a", "b"}
+    assert ft.total() >= 0
+
+    tc = TimerCollection()
+    with tc.time("x"):
+        pass
+    with tc.time("x"):
+        pass
+    assert tc.count["x"] == 2
+    assert "x: total" in tc.report()
+
+
+def test_subtree_config_accessors(tmp_path):
+    from hitl_slam_tpu.utils.config import SubTree, load_config
+
+    p = tmp_path / "c.json"
+    p.write_text('{"a": {"b": 3, "c": 1.5, "d": true, "e": "s"}}')
+    t = SubTree(load_config(str(p)))
+    assert t.get_int("a.b") == 3
+    assert t.get_float("a.c") == 1.5
+    assert t.get_bool("a.d") is True
+    assert t.get_str("a.e") == "s"
+    assert t.get_int("a.missing", 9) == 9
+    assert t.sub("a").get_int("b") == 3
