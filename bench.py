@@ -59,6 +59,8 @@ def correction_specs(P):
 def main():
     import jax
 
+    t_start = time.perf_counter()
+
     from hitl_slam_tpu.baselines.cpu_lm import cpu_lm_solve
     from hitl_slam_tpu.core.state import SingleInput
     from hitl_slam_tpu.io.figure8 import generate_figure8
@@ -161,80 +163,96 @@ def main():
     # ---- pipelined throughput: chained device-side cycles, ONE host sync —
     # the serving shape for queued corrections; isolates on-device time from
     # the per-call host<->device round trip ----
+    # Extras are budget-gated + exception-guarded: the primary JSON line must
+    # print even if a cold remote compile eats the driver's timeout.
+    extras_ok = (time.perf_counter() - t_start) < 20 * 60
+    pipelined_ms = big_solve_ms = replica_ms = -1.0
     import jax as _jax
     import jax.numpy as jnp
 
     from hitl_slam_tpu.models.hitl.cycle import cycle_step
 
-    st = eng.state
-    sel_cycle = [jnp.asarray(synthesize_correction(
-        m, s["corrected"], s["anchor"], s["cw"], s["aw"],
-        corrected_span=s["cspan"], anchor_span=s["aspan"],
-        poses=np.asarray(m.poses)), jnp.float32) for s in specs[:2]]
+    try:
+        if not extras_ok:
+            raise TimeoutError('budget')
+        st = eng.state
+        sel_cycle = [jnp.asarray(synthesize_correction(
+            m, s["corrected"], s["anchor"], s["cw"], s["aw"],
+            corrected_span=s["cspan"], anchor_span=s["aspan"],
+            poses=np.asarray(m.poses)), jnp.float32) for s in specs[:2]]
 
-    def chained(poses, covs, table, n0):
-        ctype = jnp.asarray(4, jnp.int32)
-        n = n0
-        for k in range(8):
-            out = cycle_step(st.points, st.point_mask, poses, covs, table,
-                             ctype, sel_cycle[k % len(sel_cycle)], n)
-            poses, covs, table = out.poses, out.covariances, out.constraints
-            n = n + out.num_new_constraints
-        return poses, covs
+        def chained(poses, covs, table, n0):
+            ctype = jnp.asarray(4, jnp.int32)
+            n = n0
+            for k in range(8):
+                out = cycle_step(st.points, st.point_mask, poses, covs, table,
+                                 ctype, sel_cycle[k % len(sel_cycle)], n)
+                poses, covs, table = out.poses, out.covariances, out.constraints
+                n = n + out.num_new_constraints
+            return poses, covs
 
-    # warmup then timed: state stays on device across all 8 cycles
-    p0, c0v, t0v = st.poses, st.covariances, st.constraints
-    n0 = jnp.asarray(eng.num_constraints, jnp.int32)
-    outp, outc = chained(p0, c0v, t0v, n0)
-    _jax.block_until_ready((outp, outc))
-    t0 = time.perf_counter()
-    outp, outc = chained(p0, c0v, t0v, n0)
-    _jax.block_until_ready((outp, outc))
-    pipelined_ms = (time.perf_counter() - t0) * 1e3 / 8.0
+        # warmup then timed: state stays on device across all 8 cycles
+        p0, c0v, t0v = st.poses, st.covariances, st.constraints
+        n0 = jnp.asarray(eng.num_constraints, jnp.int32)
+        outp, outc = chained(p0, c0v, t0v, n0)
+        _jax.block_until_ready((outp, outc))
+        t0 = time.perf_counter()
+        outp, outc = chained(p0, c0v, t0v, n0)
+        _jax.block_until_ready((outp, outc))
+        pipelined_ms = (time.perf_counter() - t0) * 1e3 / 8.0
 
-    # ---- secondary configs ----
-    import jax
-    import jax.numpy as jnp
+    except Exception as e:
+        import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
 
-    from hitl_slam_tpu.solver.joint import build_problem
-    from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
+    try:
+        if not extras_ok:
+            raise TimeoutError('budget')
+        # ---- secondary configs ----
+        import jax
+        import jax.numpy as jnp
 
-    # (a) BASELINE config #4 scale: ~10^4-pose sparse joint solve
-    big_P = 8192
-    rng = np.random.default_rng(3)
-    chain = np.zeros((big_P, 3), np.float32)
-    heads = np.cumsum(rng.normal(0, 0.05, big_P)).astype(np.float32)
-    chain[:, 2] = heads
-    chain[1:, 0] = np.cumsum(0.4 * np.cos(heads[:-1]))
-    chain[1:, 1] = np.cumsum(0.4 * np.sin(heads[:-1]))
-    big_tbl = jax.tree_util.tree_map(lambda x: x, tbl)  # reuse constraint table
-    big_tbl = type(tbl)(
-        ctype=tbl.ctype, constrained=tbl.constrained % big_P,
-        anchor=tbl.anchor % big_P, delta_parallel=tbl.delta_parallel,
-        delta_perpendicular=tbl.delta_perpendicular,
-        delta_angle=tbl.delta_angle, penalty_dir=tbl.penalty_dir,
-        active=tbl.active,
-    )
-    prob_big = build_problem(jnp.asarray(chain), big_tbl)
-    cfg20 = LMConfig(max_iterations=20)
-    r = solve_jit(prob_big, jnp.asarray(chain), cfg20)  # warmup/compile
-    jax.block_until_ready(r.poses)
-    t0 = time.perf_counter()
-    r = solve_jit(prob_big, jnp.asarray(chain), cfg20)
-    jax.block_until_ready(r.poses)
-    big_solve_ms = (time.perf_counter() - t0) * 1e3
+        from hitl_slam_tpu.solver.joint import build_problem
+        from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
 
-    # (b) BASELINE config #5: 32 perturbed replicas via vmap
-    from hitl_slam_tpu.parallel.replicas import batched_solve, make_perturbed_replicas
+        # (a) BASELINE config #4 scale: ~10^4-pose sparse joint solve
+        big_P = 8192
+        rng = np.random.default_rng(3)
+        chain = np.zeros((big_P, 3), np.float32)
+        heads = np.cumsum(rng.normal(0, 0.05, big_P)).astype(np.float32)
+        chain[:, 2] = heads
+        chain[1:, 0] = np.cumsum(0.4 * np.cos(heads[:-1]))
+        chain[1:, 1] = np.cumsum(0.4 * np.sin(heads[:-1]))
+        big_tbl = jax.tree_util.tree_map(lambda x: x, tbl)  # reuse constraint table
+        big_tbl = type(tbl)(
+            ctype=tbl.ctype, constrained=tbl.constrained % big_P,
+            anchor=tbl.anchor % big_P, delta_parallel=tbl.delta_parallel,
+            delta_perpendicular=tbl.delta_perpendicular,
+            delta_angle=tbl.delta_angle, penalty_dir=tbl.penalty_dir,
+            active=tbl.active,
+        )
+        prob_big = build_problem(jnp.asarray(chain), big_tbl)
+        cfg20 = LMConfig(max_iterations=20)
+        r = solve_jit(prob_big, jnp.asarray(chain), cfg20)  # warmup/compile
+        jax.block_until_ready(r.poses)
+        t0 = time.perf_counter()
+        r = solve_jit(prob_big, jnp.asarray(chain), cfg20)
+        jax.block_until_ready(r.poses)
+        big_solve_ms = (time.perf_counter() - t0) * 1e3
 
-    reps, btable = make_perturbed_replicas(
-        np.asarray(eng.state.poses), tbl, num_replicas=32)
-    rb = batched_solve(reps, btable, cfg20)  # warmup/compile
-    jax.block_until_ready(rb.poses)
-    t0 = time.perf_counter()
-    rb = batched_solve(reps, btable, cfg20)
-    jax.block_until_ready(rb.poses)
-    replica_ms = (time.perf_counter() - t0) * 1e3
+        # (b) BASELINE config #5: 32 perturbed replicas via vmap
+        from hitl_slam_tpu.parallel.replicas import batched_solve, make_perturbed_replicas
+
+        reps, btable = make_perturbed_replicas(
+            np.asarray(eng.state.poses), tbl, num_replicas=32)
+        rb = batched_solve(reps, btable, cfg20)  # warmup/compile
+        jax.block_until_ready(rb.poses)
+        t0 = time.perf_counter()
+        rb = batched_solve(reps, btable, cfg20)
+        jax.block_until_ready(rb.poses)
+        replica_ms = (time.perf_counter() - t0) * 1e3
+
+    except Exception as e:
+        import sys; print(f'[bench] secondary configs skipped: {e}', file=sys.stderr)
 
     last = accepted[-1]
     # compare like-for-like: CPU ran only the joint solve; add the measured

@@ -298,9 +298,11 @@ class HitLSLAM:
         cap = st.constraints.capacity - 1
         if self.num_constraints > cap:
             # rows beyond capacity landed in the dump slot and were dropped
+            import sys
+
             print(f"WARNING: constraint table full ({cap}); "
                   f"{self.num_constraints - cap} rows dropped. "
-                  f"Increase constraint_capacity.")
+                  f"Increase constraint_capacity.", file=sys.stderr)
             self.num_constraints = cap
         self.last_pre_solve_poses = out.pre_solve_poses
         self.state = MapState(
