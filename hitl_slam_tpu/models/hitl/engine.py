@@ -7,10 +7,10 @@ getInputHistory — plus the same single-depth undo snapshot semantics
 (HitLSLAM.cpp:262-276) and the pending-correction two-click state machine
 (:151-216, keyed on the GUI modifier bitmask cast to CorrectionType).
 
-Division of labor per the TPU-first design: everything numeric runs in two
-jitted programs (`em` kernels + `repair_step`); this class only holds state,
-runs the tiny branchy ordering logic on host numpy, and manages the
-constraint-table write cursor.
+Division of labor per the TPU-first design: the entire numeric cycle runs in
+ONE fused device program (models/hitl/cycle.py); this class only holds state
+handles, records history/undo snapshots, and manages the constraint-table
+write cursor. The host reads back six scalars per correction.
 """
 
 from __future__ import annotations
