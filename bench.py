@@ -157,8 +157,11 @@ def main():
     start_poses, n_active = eng.solve_snapshots[-1]
     sub = {k: v.copy() for k, v in np_table.items()}
     sub["active"][n_active:] = False
-    _, scipy_cost, scipy_wall = scipy_generic_solve(start_poses, sub)
-    scipy_ms = scipy_wall * 1e3
+    # min of two runs: the shared bench host's load makes single CPU timings
+    # vary 3x; the min is the fairest available estimate of its capability
+    _, scipy_cost, w1 = scipy_generic_solve(start_poses, sub)
+    _, _, w2 = scipy_generic_solve(start_poses, sub)
+    scipy_ms = min(w1, w2) * 1e3
 
     # ---- pipelined throughput: chained device-side cycles, ONE host sync —
     # the serving shape for queued corrections; isolates on-device time from
