@@ -59,6 +59,16 @@ def correction_specs(P):
 def main():
     import jax
 
+    # persistent compilation cache: the fused cycle's first compile costs
+    # ~10-20 min through this environment's remote-compile relay; cache it
+    # on disk so subsequent bench runs start hot
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     t_start = time.perf_counter()
 
     from hitl_slam_tpu.baselines.cpu_lm import cpu_lm_solve
