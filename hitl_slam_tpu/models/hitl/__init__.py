@@ -1,0 +1,3 @@
+"""Human-in-the-Loop map repair — the flagship model family."""
+
+from .engine import CycleReport, HitLSLAM  # noqa: F401
