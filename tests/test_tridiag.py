@@ -132,3 +132,36 @@ def test_pcg_with_extra_matvec(rng):
       jnp.asarray(b, jnp.float32))
     assert float(rel) < 1e-5
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=6e-3, atol=6e-3)
+
+
+def test_lm_with_pcg_solver(rng):
+    """LM accepts the CG path as a drop-in linear solver."""
+    from hitl_slam_tpu.core.state import ConstraintTable
+    from hitl_slam_tpu.solver.cg import pcg_tridiag
+    from hitl_slam_tpu.solver.joint import build_problem
+    from hitl_slam_tpu.solver.lm import LMConfig, solve
+
+    n = 40
+    p = np.zeros((n, 3), np.float32)
+    for i in range(1, n):
+        p[i, 2] = p[i - 1, 2] + rng.normal(0, 0.1)
+        p[i, :2] = p[i - 1, :2] + [0.4 * np.cos(p[i - 1, 2]),
+                                   0.4 * np.sin(p[i - 1, 2])]
+    t = ConstraintTable.empty(8)
+    t = ConstraintTable(
+        ctype=t.ctype.at[0].set(2),
+        constrained=t.constrained.at[0].set(30),
+        anchor=t.anchor.at[0].set(3),
+        delta_parallel=t.delta_parallel.at[0].set(0.5),
+        delta_perpendicular=t.delta_perpendicular.at[0].set(-0.2),
+        delta_angle=t.delta_angle.at[0].set(0.1),
+        penalty_dir=t.penalty_dir.at[0].set(0.0),
+        active=t.active.at[0].set(True),
+    )
+    poses = jnp.asarray(p)
+    prob = build_problem(poses, t)
+    cfg = LMConfig(max_iterations=60)
+    ref = jax.jit(lambda pr, x: solve(pr, x, cfg))(prob, poses)
+    got = jax.jit(lambda pr, x: solve(pr, x, cfg, linear_solver=pcg_tridiag))(
+        prob, poses)
+    assert float(got.final_cost) <= float(ref.final_cost) * 1.05 + 1e-5
