@@ -267,6 +267,37 @@ def main():
     except Exception as e:
         import sys; print(f'[bench] secondary configs skipped: {e}', file=sys.stderr)
 
+    # ---- EnML batch localizer throughput ----
+    enml_ms = enml_nodes = -1
+    try:
+        if not extras_ok:
+            raise TimeoutError('budget')
+        from hitl_slam_tpu.core.state import make_map_state
+        from hitl_slam_tpu.io.figure8 import generate_raw_stream
+        from hitl_slam_tpu.models.enml.driver import (
+            EpisodeOptions, build_episodes)
+        from hitl_slam_tpu.models.enml.localizer import (
+            EnmlOptions, batch_localize)
+
+        scans, angles, rel_odom, _, _ = generate_raw_stream(
+            num_steps=160, num_rays=240, seed=11)
+        e_poses, e_pcs, e_ncs, _ = build_episodes(
+            scans, angles, rel_odom, EpisodeOptions(clip_low=10, clip_high=10))
+        est = make_map_state(
+            e_poses, np.zeros((len(e_poses), 3, 3), np.float32), e_pcs, e_ncs)
+        eopts = EnmlOptions()
+        out_enml = batch_localize(est.points, est.normals, est.point_mask,
+                                  est.poses, eopts)
+        _jax.block_until_ready(out_enml)
+        t0 = time.perf_counter()
+        out_enml = batch_localize(est.points, est.normals, est.point_mask,
+                                  est.poses, eopts)
+        _jax.block_until_ready(out_enml)
+        enml_ms = (time.perf_counter() - t0) * 1e3
+        enml_nodes = est.num_poses
+    except Exception as e:
+        import sys; print(f'[bench] enml config skipped: {e}', file=sys.stderr)
+
     last = accepted[-1]
     # compare like-for-like: CPU ran only the joint solve; add the measured
     # device-side non-solve stages to the CPU figure at parity (they are
@@ -296,6 +327,8 @@ def main():
                 "before": round(gt_error(m.poses), 4),
                 "after": round(gt_error(eng.get_poses()), 4),
             },
+            "enml_batch_localize_ms": round(enml_ms, 2),
+            "enml_nodes": enml_nodes,
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(
