@@ -25,7 +25,15 @@ def make_mesh(n_replica: int = 1, n_pose: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = n_replica * n_pose
-    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if len(devices) < n:
+        raise RuntimeError(
+            f"need {n} devices for a (replica={n_replica}, pose={n_pose}) "
+            f"mesh, but jax.devices() = {devices}. For a virtual multi-chip "
+            "run, force the CPU backend BEFORE jax initializes: "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            f"jax.config.update('jax_num_cpu_devices', {n}) "
+            "(see tests/conftest.py / __graft_entry__._force_virtual_cpu_devices)."
+        )
     arr = np.asarray(devices[:n]).reshape(n_replica, n_pose)
     return Mesh(arr, ("replica", "pose"))
 
