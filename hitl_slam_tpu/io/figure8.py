@@ -72,7 +72,6 @@ def _raycast(pose: np.ndarray, walls: np.ndarray, num_rays: int,
     e = b - a                                                 # [W, 2]
     # Solve o + t*d = a + s*e  for t, s via 2x2 cross products.
     denom = d[:, None, 0] * (-e[None, :, 1]) - d[:, None, 1] * (-e[None, :, 0])
-    ao = a[None, :, :] - o[None, None, :].reshape(1, 1, 2)
     ao = np.broadcast_to(a[None, :, :] - o[None, :], (num_rays, len(walls), 2))
     t = (ao[..., 0] * (-e[None, :, 1]) - ao[..., 1] * (-e[None, :, 0])) / np.where(
         np.abs(denom) < 1e-12, np.inf, denom)

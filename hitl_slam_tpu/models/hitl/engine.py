@@ -44,6 +44,7 @@ class CycleReport:
     lm_iterations: int = 0
     initial_cost: float = 0.0
     final_cost: float = 0.0
+    dropped_rows: int = 0   # constraint rows lost to a full table this cycle
     timings_ms: dict = field(default_factory=dict)
 
 
@@ -283,9 +284,16 @@ class HitLSLAM:
                                timings_ms=timer.laps_ms())
 
         # the reference records history once the input verifies, even if the
-        # ordering stage later rejects it (HitLSLAM.cpp:390-397)
+        # ordering stage later rejects it (HitLSLAM.cpp:390-397), AND it
+        # snapshots prev_poses_ before the ordering check (:390) — so an
+        # undo() after an order-rejected input is a pose no-op that merely
+        # marks the rejected entry undone. Match that: snapshot here, where
+        # the state is still untouched.
         if record_history:
             self.input_history.append(SingleInput(ctype, 0, sel.copy()))
+            self.prev_poses = prev_poses
+            self.prev_covariances = prev_covariances
+            self.prev_num_constraints = prev_n
 
         if not bool(order_valid):
             return CycleReport(False, "selection overlap / no backprop window",
@@ -295,13 +303,15 @@ class HitLSLAM:
         self.prev_covariances = prev_covariances
         self.prev_num_constraints = prev_n
         self.num_constraints += int(n_new)
+        dropped = 0
         cap = st.constraints.capacity - 1
         if self.num_constraints > cap:
             # rows beyond capacity landed in the dump slot and were dropped
             import sys
 
+            dropped = self.num_constraints - cap
             print(f"WARNING: constraint table full ({cap}); "
-                  f"{self.num_constraints - cap} rows dropped. "
+                  f"{dropped} rows dropped. "
                   f"Increase constraint_capacity.", file=sys.stderr)
             self.num_constraints = cap
         self.last_pre_solve_poses = out.pre_solve_poses
@@ -317,5 +327,6 @@ class HitLSLAM:
             lm_iterations=int(lm_it),
             initial_cost=float(c0),
             final_cost=float(c1),
+            dropped_rows=dropped,
             timings_ms=timer.laps_ms(),
         )

@@ -27,13 +27,15 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(
-                    ["make", "-C", _DIR], check=True,
-                    capture_output=True, timeout=120,
-                )
-            except (subprocess.SubprocessError, OSError):
+        # always invoke make: it is a no-op when the .so is newer than the
+        # source, and rebuilds stale libraries after source changes
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, OSError):
+            if not os.path.exists(_SO):
                 _build_failed = True
                 return None
         try:
@@ -44,7 +46,7 @@ def _load():
         lib.parse_stfs_covars.restype = ctypes.c_int64
         lib.parse_stfs_covars.argtypes = [
             ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64,
             ctypes.c_char_p,
             ctypes.c_int64,
@@ -70,13 +72,13 @@ def parse_stfs_file(path: str):
     max_rows = int(lib.count_lines(pathb))
     if max_rows <= 0:
         return None
-    out = np.empty((max_rows, 16), np.float32)
+    out = np.empty((max_rows, 16), np.float64)
     name = ctypes.create_string_buffer(256)
     ts = ctypes.c_double()
     n = lib.parse_stfs_covars(
-        pathb, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pathb, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         max_rows, name, 256, ctypes.byref(ts),
     )
     if n < 0:
         return None
-    return name.value.decode(), float(ts.value), out[:n].astype(np.float64)
+    return name.value.decode(), float(ts.value), out[:n]

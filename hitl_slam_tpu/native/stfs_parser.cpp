@@ -2,8 +2,11 @@
 //
 // The reference parses pose graphs with per-line fscanf of 16 fields
 // (HitLSLAM_main.cpp:192-300). For ~1e5-row files the Python/numpy text path
-// costs seconds; this single-pass strtof parser feeds a preallocated float
-// buffer and runs at memory-bandwidth speed. Exposed via ctypes
+// costs seconds; this single-pass strtod parser feeds a preallocated double
+// buffer and runs at memory-bandwidth speed (the file read, not the float
+// conversion, dominates either way). Doubles keep the native path bit-equal
+// to the Python fallback, so pose-change grouping cannot depend on which
+// parser ran. Exposed via ctypes
 // (hitl_slam_tpu/native/__init__.py) with a pure-Python fallback.
 //
 // Build: make -C hitl_slam_tpu/native  (invoked automatically on first use).
@@ -15,11 +18,11 @@
 
 extern "C" {
 
-// Parses the file at `path`. Writes up to `max_rows * 16` floats into `out`
+// Parses the file at `path`. Writes up to `max_rows * 16` doubles into `out`
 // (row-major, 16 fields per row), the map name into `map_name`
 // (name_capacity bytes), and the timestamp into `*timestamp`.
 // Returns the number of rows parsed, or -1 on error.
-int64_t parse_stfs_covars(const char* path, float* out, int64_t max_rows,
+int64_t parse_stfs_covars(const char* path, double* out, int64_t max_rows,
                           char* map_name, int64_t name_capacity,
                           double* timestamp) {
   FILE* f = fopen(path, "rb");
@@ -51,11 +54,11 @@ int64_t parse_stfs_covars(const char* path, float* out, int64_t max_rows,
 
   int64_t rows = 0;
   while (*p && rows < max_rows) {
-    float* row = out + rows * 16;
+    double* row = out + rows * 16;
     int field = 0;
     for (; field < 16; ++field) {
       char* end;
-      row[field] = strtof(p, &end);
+      row[field] = strtod(p, &end);
       if (end == p) break;  // no progress: blank/garbage line
       p = end;
       while (*p == ',' || *p == ' ' || *p == '\t') ++p;

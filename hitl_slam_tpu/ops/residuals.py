@@ -210,3 +210,71 @@ def human_residuals(f: HumanFactors, poses: Array) -> Array:
 def human_jacobians(f: HumanFactors) -> Array:
     """[C, 3, 3] Jacobian wrt the constrained pose: J = -M (constant)."""
     return -f.M
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CompactHuman:
+    """Per-pose pre-reduction of the human-constraint table.
+
+    Because every human factor is UNARY with per-solve-constant M and target
+    (targets are recomputed from anchors only at problem build time,
+    JointOptimization.cpp:969-1054), the whole [C]-row table reduces EXACTLY
+    to per-pose quadratic forms once per solve. Writing the residual about
+    the build-time poses q0 (r_a = d_a + M_a e with d_a = M_a(t_a - q0),
+    e = q0 - q keeps f32 cancellation mild — both d and e are step-sized):
+
+        A_p = sum_a M_a^T M_a          (Hessian block, constant per solve)
+        c_p = sum_a M_a^T d_a          (gradient offset)
+        k   = sum_a d_a^T d_a          (cost offset, scalar)
+
+        H_h[p]    = A_p
+        g_h[p]    = -(c_p + A_p e_p)
+        cost_h    = 0.5 (k + sum_p 2 e_p.c_p + e_p.A_p e_p)
+
+    This removes the per-LM-iteration [C,P] contraction entirely: iteration
+    cost for human factors is O(P) instead of O(C*P), and is independent of
+    the constraint-table capacity.
+    """
+
+    q0: Array  # [P, 3] build-time poses (linearization reference)
+    A: Array   # [P, 3, 3]
+    c: Array   # [P, 3]
+    k: Array   # scalar
+
+
+def compact_human_factors(
+    f: HumanFactors, poses0: Array, onehot: Array | None = None
+) -> CompactHuman:
+    """Reduce the [C]-row factor table to CompactHuman at poses0.
+
+    With `onehot` ([C, P]) the reduction rides the MXU (TPU scatter-add
+    serializes on colliding indices); without it (e.g. under vmap over
+    replicas, where a per-example selector would multiply the footprint) it
+    falls back to scatter-add — either way this runs ONCE per solve.
+    """
+    P = poses0.shape[0]
+    d = jnp.einsum("cij,cj->ci", f.M, f.target - poses0[f.pose_idx])  # [C,3]
+    MTM = jnp.einsum("cki,ckj->cij", f.M, f.M)                        # [C,3,3]
+    MTd = jnp.einsum("cki,ck->ci", f.M, d)                            # [C,3]
+    if onehot is not None:
+        A = jnp.einsum("cp,cij->pij", onehot, MTM)
+        c = jnp.einsum("cp,ci->pi", onehot, MTd)
+    else:
+        A = jnp.zeros((P, 3, 3), poses0.dtype).at[f.pose_idx].add(MTM)
+        c = jnp.zeros((P, 3), poses0.dtype).at[f.pose_idx].add(MTd)
+    k = jnp.sum(d * d)
+    return CompactHuman(q0=poses0, A=A, c=c, k=k)
+
+
+def compact_human_terms(
+    ch: CompactHuman, poses: Array
+) -> tuple[Array, Array, Array]:
+    """(H_blocks [P,3,3], g [P,3], cost scalar) of all human factors at
+    `poses`, from the per-pose pre-reduction. Exact (up to f32 reassociation)
+    equal to assembling the [C]-row table."""
+    e = ch.q0 - poses
+    Ae = jnp.einsum("pij,pj->pi", ch.A, e)
+    g = -(ch.c + Ae)
+    cost = 0.5 * (ch.k + jnp.sum(e * (2.0 * ch.c + Ae)))
+    return ch.A, g, cost

@@ -197,8 +197,10 @@ def sharded_lm_solve(
             step_l = lax.dynamic_slice_in_dim(step, my * Pl, Pl, axis=0)
             x_new = x_l + step_l
             c_new = eval_cost(x_new)
-            pred = 0.5 * jnp.sum(step * (mu * jnp.diagonal(D, axis1=-2, axis2=-1)
-                                         * step - g))
+            # use the same CLIPPED diag as the damping term, matching
+            # solver/lm.py — otherwise rho diverges from the single-chip
+            # path whenever the clip binds
+            pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
             rho = (c - c_new) / jnp.maximum(pred, 1e-30)
             accept = (rho > 0) & jnp.isfinite(c_new)
             x_l = jnp.where(accept, x_new, x_l)
@@ -236,6 +238,10 @@ def sharded_lm_solve(
         lm_local, mesh=mesh,
         in_specs=(P("pose", None), odom_spec, human_spec),
         out_specs=(P("pose", None), P(), P(), P(), P()),
+        # check_vma=False: the body mixes device-varying values with
+        # replicated outputs (cost/iteration scalars are identical on every
+        # shard by construction — they come out of psum/all_gather); the
+        # varying-manual-axes checker can't prove that and would reject it.
         check_vma=False,
     )
     x, c, c0, it, done = jax.jit(fn)(poses0, padded, problem.human)

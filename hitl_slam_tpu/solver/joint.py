@@ -29,20 +29,21 @@ Array = jax.Array
 class JointProblem:
     """All factor constants for one solve, fixed at build time.
 
-    `human_onehot` ([C, P] f32 or None) caches the constraint->pose scatter
-    as a dense selector so per-iteration assembly is a single MXU
-    contraction instead of a serialized TPU scatter-add; it is constant for
-    the duration of a solve, so it is built once here.
+    `compact` is the once-per-solve per-pose reduction of the human factor
+    table (ops/residuals.py:CompactHuman): the [C]-row table never enters
+    the LM iteration loop — per-iteration human-factor work is O(P) and
+    independent of constraint-table capacity. `human` keeps the raw per-row
+    factors for cost breakdowns and the sharded sequence-parallel solver.
     """
 
     odom: res.OdometryFactors
     human: res.HumanFactors
-    human_onehot: Array | None = None
+    compact: res.CompactHuman
     num_poses: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 # max elements of the dense [C, P] selector before falling back to scatter
-ONEHOT_BUDGET = 32 * 1024 * 1024
+ONEHOT_BUDGET = 64 * 1024 * 1024
 
 
 def build_problem(poses: Array, table: ConstraintTable,
@@ -51,8 +52,10 @@ def build_problem(poses: Array, table: ConstraintTable,
     human = res.build_human_factors(poses, table)
     C = human.pose_idx.shape[0]
     onehot = None
-    # callers that vmap over replicas should pass use_onehot=False: the
-    # selector is per-example, so a batch multiplies its footprint
+    # The dense selector puts the once-per-solve table->pose reduction on the
+    # MXU (TPU scatter-add serializes on colliding indices). Callers that
+    # vmap over replicas pass use_onehot=False: a per-example selector would
+    # multiply the footprint, and the scatter runs once per solve anyway.
     if use_onehot and P * C <= ONEHOT_BUDGET:
         onehot = (
             human.pose_idx[:, None] == jnp.arange(P)[None, :]
@@ -60,7 +63,7 @@ def build_problem(poses: Array, table: ConstraintTable,
     return JointProblem(
         odom=res.build_odometry_factors(poses),
         human=human,
-        human_onehot=onehot,
+        compact=res.compact_human_factors(human, poses, onehot),
         num_poses=P,
     )
 
@@ -74,8 +77,8 @@ def cost(problem: JointProblem, poses: Array) -> Array:
     to compile.)
     """
     r_o = res.odometry_residuals(problem.odom, poses)
-    r_h = res.human_residuals(problem.human, poses)
-    return 0.5 * (jnp.sum(r_o * r_o) + jnp.sum(r_h * r_h))
+    _, _, c_h = res.compact_human_terms(problem.compact, poses)
+    return 0.5 * jnp.sum(r_o * r_o) + c_h
 
 
 def normal_equations(
@@ -90,31 +93,17 @@ def normal_equations(
     P = problem.num_poses
     r_o = res.odometry_residuals(problem.odom, poses)        # [F,3]
     J1, J2 = res.odometry_jacobians(problem.odom, poses)     # [F,3,3] each
-    r_h = res.human_residuals(problem.human, poses)          # [C,3]
-    Jh = res.human_jacobians(problem.human)                  # [C,3,3]
 
     J1T, J2T = jnp.swapaxes(J1, -1, -2), jnp.swapaxes(J2, -1, -2)
-    D = jnp.zeros((P, 3, 3), poses.dtype)
-    D = D.at[:-1].add(J1T @ J1)
+    # human factors enter via the per-pose pre-reduction: O(P) per iteration,
+    # no [C]-row work in the LM loop (see ops/residuals.py:CompactHuman)
+    A_h, g_h, c_h = res.compact_human_terms(problem.compact, poses)
+    D = A_h.at[:-1].add(J1T @ J1)
     D = D.at[1:].add(J2T @ J2)
     U = J1T @ J2                                             # couples (i-1, i)
 
-    g = jnp.zeros((P, 3), poses.dtype)
-    g = g.at[:-1].add((J1T @ r_o[..., None])[..., 0])
+    g = g_h.at[:-1].add((J1T @ r_o[..., None])[..., 0])
     g = g.at[1:].add((J2T @ r_o[..., None])[..., 0])
-
-    JhT = jnp.swapaxes(Jh, -1, -2)
-    D_h = JhT @ Jh                                           # [C,3,3]
-    g_h = (JhT @ r_h[..., None])[..., 0]                     # [C,3]
-    if problem.human_onehot is not None:
-        # TPU scatter-add serializes on colliding indices (~4 ms/iteration at
-        # C=8k, measured); the cached one-hot contraction puts the same
-        # reduction on the MXU.
-        D = D + jnp.einsum("cp,cij->pij", problem.human_onehot, D_h)
-        g = g + jnp.einsum("cp,ci->pi", problem.human_onehot, g_h)
-    else:
-        D = D.at[problem.human.pose_idx].add(D_h)
-        g = g.at[problem.human.pose_idx].add(g_h)
 
     # gauge fix pose 0
     eye = jnp.eye(3, dtype=poses.dtype)
@@ -122,5 +111,5 @@ def normal_equations(
     U = U.at[0].set(0.0)
     g = g.at[0].set(0.0)
 
-    c = 0.5 * (jnp.sum(r_o * r_o) + jnp.sum(r_h * r_h))
+    c = 0.5 * jnp.sum(r_o * r_o) + c_h
     return D, U, g, c

@@ -112,3 +112,44 @@ def test_human_target_semantics(rng):
     poses_sat = poses.at[2].set(jnp.asarray([*target_xy, target_th]))
     r = res.human_residuals(f, poses_sat)
     np.testing.assert_allclose(np.asarray(r[0]), 0.0, atol=1e-5)
+
+
+def test_compact_human_matches_rowwise_assembly(rng):
+    """CompactHuman (the O(P)-per-iteration pre-reduction) must equal the
+    row-wise [C]-table assembly: Hessian blocks, gradient, and cost."""
+    poses0 = _rand_poses(rng, 6)
+    table = _table_with([
+        (CorrectionType.LINE_SEGMENT, 3, 0, 1.0, -0.5, 0.2, 0.0),
+        (CorrectionType.COLINEAR, 4, 1, 0.3, 0.7, -0.1, 0.9),
+        (CorrectionType.COLINEAR, 4, 0, -0.2, 0.1, 0.3, -0.4),
+        (CorrectionType.PERPENDICULAR, 5, 0, 0.0, 0.0, 1.1, 0.0),
+        (CorrectionType.PARALLEL, 2, 1, 0.0, 0.0, -0.4, 0.0),
+    ])
+    f = res.build_human_factors(poses0, table)
+    ch = res.compact_human_factors(f, poses0)
+
+    for step_scale in (0.0, 0.05, 0.5):
+        poses = poses0 + step_scale * jnp.asarray(
+            rng.normal(size=poses0.shape).astype(np.float32))
+        A, g, cost = res.compact_human_terms(ch, poses)
+
+        r = np.asarray(res.human_residuals(f, poses))
+        J = np.asarray(res.human_jacobians(f))
+        pidx = np.asarray(f.pose_idx)
+        H_ref = np.zeros((6, 3, 3), np.float64)
+        g_ref = np.zeros((6, 3), np.float64)
+        for k in range(len(pidx)):
+            H_ref[pidx[k]] += J[k].T @ J[k]
+            g_ref[pidx[k]] += J[k].T @ r[k]
+        np.testing.assert_allclose(np.asarray(A), H_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-4)
+        np.testing.assert_allclose(
+            float(cost), 0.5 * float((r * r).sum()), rtol=1e-4, atol=1e-6)
+
+    # onehot reduction path gives the same compact form
+    onehot = (np.asarray(f.pose_idx)[:, None] == np.arange(6)[None, :])
+    ch2 = res.compact_human_factors(
+        f, poses0, jnp.asarray(onehot.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(ch2.A), np.asarray(ch.A), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ch2.c), np.asarray(ch.c), atol=1e-5)
+    np.testing.assert_allclose(float(ch2.k), float(ch.k), rtol=1e-5)
