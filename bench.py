@@ -78,16 +78,28 @@ def main():
 
     from hitl_slam_tpu.io.figure8 import synthesize_correction
 
-    num_poses = 1024
-    m = generate_figure8(num_poses=num_poses, num_rays=180, seed=7,
-                         drift_theta_bias=6e-4, num_laps=2)
+    import os
+
+    # BENCH_SMOKE=1: tiny shapes for a fast CPU end-to-end check of the
+    # script itself (NOT a performance measurement).
+    smoke = bool(os.environ.get("BENCH_SMOKE"))
+
+    num_poses = 128 if smoke else 1024
+    m = generate_figure8(num_poses=num_poses, num_rays=40 if smoke else 180,
+                         seed=7, drift_theta_bias=6e-4, num_laps=2)
     total_pts = sum(len(p) for p in m.point_clouds)
     specs = correction_specs(num_poses)
+
+    # capacity 16384: the 5-correction session instantiates ~12k pair-grid
+    # constraint rows (full anchorxcorrected cross product, as in
+    # ApplyExplicitCorrection.cpp:459-487) — the table must hold ALL of them
+    # so the headline is measured on the untruncated factor graph.
+    CAPACITY = 2048 if smoke else 16384
 
     def run_session():
         eng = HitLSLAM()
         eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
-                 odometry=m.odometry)
+                 odometry=m.odometry, constraint_capacity=CAPACITY)
         times, reports = [], []
         eng.solve_snapshots = []
         for s in specs:
@@ -129,13 +141,35 @@ def main():
         aligned = (a - ca) @ R.T + cb
         return float(np.linalg.norm(aligned - b, axis=1).mean())
 
-    # pass 1: compile warmup; pass 2: steady-state timing
+    # ---- per-call host<->device overhead (tunnel RTT + program launch):
+    # the floor any single interactive cycle pays regardless of device work.
+    import jax.numpy as _jnp
+
+    _noop = jax.jit(lambda x: x + 1.0)
+    _one = _jnp.asarray(1.0)
+    _noop(_one).block_until_ready()
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        _noop(_one).block_until_ready()
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    tunnel_rtt_ms = float(np.median(rtts))
+
+    # pass 1: compile warmup; passes 2..4: steady-state timing (>=12 accepted
+    # cycles so the median is stable against the shared tunnel's +-30% jitter)
     run_session()
-    eng, times, reports = run_session()
-    reports = [r for r in reports if r is not None]
+    all_times, session_meds = [], []
+    for _ in range(3):
+        eng, times, reports = run_session()
+        reports = [r for r in reports if r is not None]
+        acc_times = [t for t, r in zip(times, reports) if r.accepted]
+        all_times.extend(acc_times)
+        session_meds.append(float(np.median(acc_times)))
     accepted = [r for r in reports if r.accepted]
+    dropped_rows = sum(r.dropped_rows for r in accepted)
     assert len(accepted) >= 3, [r.reason for r in reports]
-    tpu_ms = float(np.median([t for t, r in zip(times, reports) if r.accepted]))
+    tpu_ms = float(np.median(all_times))
+    tpu_ms_min = float(np.min(all_times))
 
     # CPU baseline on the final accumulated factor graph
     st = eng.state
@@ -194,25 +228,32 @@ def main():
             corrected_span=s["cspan"], anchor_span=s["aspan"],
             poses=np.asarray(m.poses)), jnp.float32) for s in specs[:2]]
 
+        NCHAIN = 4  # 4 x ~3k pair-grid rows stays within the 16384 table
+
         def chained(poses, covs, table, n0):
             ctype = jnp.asarray(4, jnp.int32)
             n = n0
-            for k in range(8):
+            for k in range(NCHAIN):
                 out = cycle_step(st.points, st.point_mask, poses, covs, table,
                                  ctype, sel_cycle[k % len(sel_cycle)], n)
                 poses, covs, table = out.poses, out.covariances, out.constraints
                 n = n + out.num_new_constraints
             return poses, covs
 
-        # warmup then timed: state stays on device across all 8 cycles
-        p0, c0v, t0v = st.poses, st.covariances, st.constraints
-        n0 = jnp.asarray(eng.num_constraints, jnp.int32)
+        # warmup then timed: state stays on device across all chained cycles;
+        # start from a FRESH constraint table (same shape -> same compiled
+        # program) so no row ever lands in the dump slot
+        from hitl_slam_tpu.core.state import ConstraintTable as _CT
+
+        p0, c0v = st.poses, st.covariances
+        t0v = _CT.empty(CAPACITY)
+        n0 = jnp.asarray(0, jnp.int32)
         outp, outc = chained(p0, c0v, t0v, n0)
         _jax.block_until_ready((outp, outc))
         t0 = time.perf_counter()
         outp, outc = chained(p0, c0v, t0v, n0)
         _jax.block_until_ready((outp, outc))
-        pipelined_ms = (time.perf_counter() - t0) * 1e3 / 8.0
+        pipelined_ms = (time.perf_counter() - t0) * 1e3 / NCHAIN
 
     except Exception as e:
         import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
@@ -228,7 +269,7 @@ def main():
         from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
 
         # (a) BASELINE config #4 scale: ~10^4-pose sparse joint solve
-        big_P = 8192
+        big_P = 512 if smoke else 8192
         rng = np.random.default_rng(3)
         chain = np.zeros((big_P, 3), np.float32)
         heads = np.cumsum(rng.normal(0, 0.05, big_P)).astype(np.float32)
@@ -256,7 +297,8 @@ def main():
         from hitl_slam_tpu.parallel.replicas import batched_solve, make_perturbed_replicas
 
         reps, btable = make_perturbed_replicas(
-            np.asarray(eng.state.poses), tbl, num_replicas=32)
+            np.asarray(eng.state.poses), tbl,
+            num_replicas=4 if smoke else 32)
         rb = batched_solve(reps, btable, cfg20)  # warmup/compile
         jax.block_until_ready(rb.poses)
         t0 = time.perf_counter()
@@ -280,7 +322,8 @@ def main():
             EnmlOptions, batch_localize)
 
         scans, angles, rel_odom, _, _ = generate_raw_stream(
-            num_steps=160, num_rays=240, seed=11)
+            num_steps=24 if smoke else 160,
+            num_rays=60 if smoke else 240, seed=11)
         e_poses, e_pcs, e_ncs, _ = build_episodes(
             scans, angles, rel_odom, EpisodeOptions(clip_low=10, clip_high=10))
         est = make_map_state(
@@ -299,10 +342,13 @@ def main():
         import sys; print(f'[bench] enml config skipped: {e}', file=sys.stderr)
 
     last = accepted[-1]
-    # compare like-for-like: CPU ran only the joint solve; add the measured
-    # device-side non-solve stages to the CPU figure at parity (they are
-    # identical host work in both worlds? no — charge CPU only the solve,
-    # conservative in our disfavor)
+    # The interactive number (value) is honest wall-clock per correction,
+    # INCLUDING the measured per-call host<->device tunnel overhead; the
+    # device-resident number (pipelined: the same full fused cycle, chained
+    # on device with ONE host sync per batch — the serving shape for queued
+    # corrections) isolates what the chip itself does. CPU baselines are
+    # solve-only, conservative in our disfavor.
+    device_cycle_ms = pipelined_ms if pipelined_ms > 0 else tpu_ms
     result = {
         "metric": (
             f"ms per full HitL repair iteration (EM+explicit+backprop+LM "
@@ -314,7 +360,11 @@ def main():
         "vs_baseline": round(scipy_ms / tpu_ms, 2),
         "detail": {
             "backend": jax.default_backend(),
-            "cycle_ms": [round(t, 2) for t in times],
+            "cycle_ms": [round(t, 2) for t in all_times],
+            "cycle_ms_min": round(tpu_ms_min, 2),
+            "cycle_ms_session_medians": [round(t, 2) for t in session_meds],
+            "tunnel_rtt_ms": round(tunnel_rtt_ms, 2),
+            "dropped_constraint_rows": int(dropped_rows),
             "accepted": [r.accepted for r in reports],
             "stage_ms_last_cycle": {
                 k: round(v, 2) for k, v in last.timings_ms.items()
@@ -323,6 +373,8 @@ def main():
             "final_costs": [r.final_cost for r in accepted],
             "num_constraints": int(np.asarray(tbl.active).sum()),
             "pipelined_cycle_ms": round(pipelined_ms, 2),
+            "device_cycle_ms": round(device_cycle_ms, 2),
+            "vs_baseline_device": round(scipy_ms / device_cycle_ms, 2),
             "map_error_vs_gt_m": {
                 "before": round(gt_error(m.poses), 4),
                 "after": round(gt_error(eng.get_poses()), 4),
@@ -340,12 +392,20 @@ def main():
             "cpu_optimized_solve_ms_median": round(cpu_solve_ms, 1),
             "cpu_optimized_final_cost_last": cpu_cost,
             "vs_optimized_cpu": round(cpu_solve_ms / tpu_ms, 2),
+            "vs_optimized_cpu_device": round(cpu_solve_ms / device_cycle_ms, 2),
             "cpu_baselines": "generic = scipy TRF, sparse finite-diff "
-                             "Jacobians (the faithful Ceres-stack analog; "
-                             "headline vs_baseline). optimized = "
+                             "Jacobians (the Ceres-stack analog; headline "
+                             "vs_baseline; likely SLOWER than real Ceres "
+                             "with compiled autodiff jets — see optimized "
+                             "for the aggressive bound). optimized = "
                              "hand-specialized numpy+LAPACK banded-Cholesky "
-                             "LM, an aggressive best-case CPU bound; both "
-                             "are solve-only vs. our full repair cycle",
+                             "LM with analytic Jacobians, a best-case CPU "
+                             "bound FASTER than the Ceres stack; both are "
+                             "solve-only vs. our full repair cycle. "
+                             "vs_*_device uses the device-resident pipelined "
+                             "cycle (one host sync per 8 queued corrections);"
+                             " plain vs_* uses interactive wall-clock incl. "
+                             "the ~tunnel_rtt_ms per-call overhead",
         },
     }
     print(json.dumps(result))
