@@ -310,7 +310,12 @@ def main():
         import sys; print(f'[bench] secondary configs skipped: {e}', file=sys.stderr)
 
     # ---- EnML batch localizer throughput ----
+    # realtime factor convention: the reference prints bag-duration /
+    # process-duration (vector_mapping_main.cpp:2357-2359); the synthetic
+    # stream has no timestamps, so assume 20 Hz scans (0.05 s period).
+    SCAN_PERIOD_S = 0.05
     enml_ms = enml_nodes = -1
+    enml_checker_ms = enml_rtf = enml_checker_rtf = -1.0
     try:
         if not extras_ok:
             raise TimeoutError('budget')
@@ -320,15 +325,19 @@ def main():
             EpisodeOptions, build_episodes)
         from hitl_slam_tpu.models.enml.localizer import (
             EnmlOptions, batch_localize)
+        from hitl_slam_tpu.models.enml.parallel_localizer import (
+            checkerboard_localize)
 
+        n_steps = 24 if smoke else 160
         scans, angles, rel_odom, _, _ = generate_raw_stream(
-            num_steps=24 if smoke else 160,
+            num_steps=n_steps,
             num_rays=60 if smoke else 240, seed=11)
         e_poses, e_pcs, e_ncs, _ = build_episodes(
             scans, angles, rel_odom, EpisodeOptions(clip_low=10, clip_high=10))
         est = make_map_state(
             e_poses, np.zeros((len(e_poses), 3, 3), np.float32), e_pcs, e_ncs)
         eopts = EnmlOptions()
+        stream_s = n_steps * SCAN_PERIOD_S
         out_enml = batch_localize(est.points, est.normals, est.point_mask,
                                   est.poses, eopts)
         _jax.block_until_ready(out_enml)
@@ -338,6 +347,18 @@ def main():
         _jax.block_until_ready(out_enml)
         enml_ms = (time.perf_counter() - t0) * 1e3
         enml_nodes = est.num_poses
+        enml_rtf = stream_s / (enml_ms / 1e3)
+
+        # checkerboard-parallel window solver (same factors, batched windows)
+        out_ck = checkerboard_localize(est.points, est.normals,
+                                       est.point_mask, est.poses, eopts)
+        _jax.block_until_ready(out_ck)
+        t0 = time.perf_counter()
+        out_ck = checkerboard_localize(est.points, est.normals,
+                                       est.point_mask, est.poses, eopts)
+        _jax.block_until_ready(out_ck)
+        enml_checker_ms = (time.perf_counter() - t0) * 1e3
+        enml_checker_rtf = stream_s / (enml_checker_ms / 1e3)
     except Exception as e:
         import sys; print(f'[bench] enml config skipped: {e}', file=sys.stderr)
 
@@ -380,7 +401,10 @@ def main():
                 "after": round(gt_error(eng.get_poses()), 4),
             },
             "enml_batch_localize_ms": round(enml_ms, 2),
+            "enml_checkerboard_ms": round(enml_checker_ms, 2),
             "enml_nodes": enml_nodes,
+            "enml_realtime_factor": round(enml_rtf, 1),
+            "enml_checkerboard_realtime_factor": round(enml_checker_rtf, 1),
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(

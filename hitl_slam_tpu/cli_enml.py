@@ -32,6 +32,12 @@ def build_parser():
                    help="run N noisy trials and save per-trial poses")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-history", type=int, default=10)
+    p.add_argument("--parallel-windows", action="store_true",
+                   help="checkerboard-parallel window solver (batched "
+                        "red/black windows instead of the sequential sweep)")
+    p.add_argument("--scan-period", type=float, default=0.05,
+                   help="seconds between scans, for the realtime factor "
+                        "(the reference reads it from bag timestamps)")
     return p
 
 
@@ -67,12 +73,16 @@ def main(argv=None) -> int:
             scans, angles, rel_odom, EpisodeOptions(clip_low=10, clip_high=10))
         new_poses, covs = localize_and_save(
             poses, pcs, ncs, args.output + tag, map_name=args.map_name,
-            options=opts)
+            options=opts, parallel_windows=args.parallel_windows)
         dt = time.perf_counter() - t0
         before = consistency_metric(poses, pcs)
         after = consistency_metric(new_poses, pcs)
+        # the reference prints bag-duration / process-duration
+        # (vector_mapping_main.cpp:2357-2359)
+        rtf = (len(scans) * args.scan_period) / max(dt, 1e-9)
         print(f"{tag or 'run'}: {len(poses)} episode nodes localized in "
-              f"{dt:.2f}s; consistency {before:.4f} -> {after:.4f}; "
+              f"{dt:.2f}s ({rtf:.1f}x realtime at {1 / args.scan_period:.0f} "
+              f"Hz scans); consistency {before:.4f} -> {after:.4f}; "
               f"wrote {args.output + tag}.stfs.covars")
         return new_poses
 

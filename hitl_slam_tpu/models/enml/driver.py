@@ -193,19 +193,28 @@ def localize_and_save(
     map_name: str = "EnML",
     timestamp: float = 0.0,
     options=None,
+    parallel_windows: bool = False,
 ):
     """Run the TPU batch localizer and write <prefix>.stfs.covars and
-    <prefix>.poses (SaveStfsandCovars / SaveLoggedPoses formats)."""
-    import jax.numpy as jnp
+    <prefix>.poses (SaveStfsandCovars / SaveLoggedPoses formats).
 
+    parallel_windows=True uses the checkerboard (red/black) batched window
+    solver instead of the sequential sliding-window sweep — same factors,
+    windows of one parity solved as one vmapped GN problem."""
     from ...core.state import make_map_state
     from .localizer import EnmlOptions, batch_localize
 
     st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
                         point_clouds, normal_clouds)
     opts = options or EnmlOptions()
-    new_poses, covs = batch_localize(
-        st.points, st.normals, st.point_mask, st.poses, opts)
+    if parallel_windows:
+        from .parallel_localizer import checkerboard_localize
+
+        new_poses, covs = checkerboard_localize(
+            st.points, st.normals, st.point_mask, st.poses, opts)
+    else:
+        new_poses, covs = batch_localize(
+            st.points, st.normals, st.point_mask, st.poses, opts)
     new_poses = np.asarray(new_poses)
     covs = np.asarray(covs)
     stfs.save_stfs_covars(out_prefix + ".stfs.covars", map_name, timestamp,

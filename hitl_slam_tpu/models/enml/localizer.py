@@ -91,6 +91,31 @@ def _odometry_targets(initial_poses: Array, o: EnmlOptions):
     return axis, d, rot, jnp.stack([1.0 / sr, 1.0 / st, 1.0 / sa], -1)
 
 
+def _brute_window_match(poses, flat_pts, flat_nrm, flat_mask, pose_of,
+                        t2, min_cos):
+    """Best cross-pose NN per point in world frame -> (tgt_idx, valid).
+
+    O(M^2) distances on the VPU/MXU — the right shape for small windows
+    (W*N up to a few thousand); larger windows use the grid matcher
+    (ops/correspond.py) via parallel_localizer."""
+    q = poses[pose_of]
+    pw = rotate(q[:, 2], flat_pts) + q[:, :2]
+    nw = rotate(q[:, 2], flat_nrm)
+    d2 = jnp.sum((pw[:, None, :] - pw[None, :, :]) ** 2, -1)  # [M, M]
+    cos = nw @ nw.T
+    ok = (
+        flat_mask[:, None]
+        & flat_mask[None, :]
+        & (pose_of[:, None] != pose_of[None, :])
+        & (d2 < t2)
+        & (cos > min_cos)
+    )
+    d2m = jnp.where(ok, d2, jnp.inf)
+    tgt = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+    valid = jnp.isfinite(jnp.min(d2m, axis=1))
+    return tgt, valid
+
+
 def _window_gn(
     w_poses: Array,      # [W, 3] current window poses
     w_pts: Array,        # [W, N, 2]
@@ -100,9 +125,11 @@ def _window_gn(
     w_d: Array, w_rot: Array, w_isig: Array,  # [W-1, ...]
     w_chain_valid: Array,  # [W-1] chain factor exists
     o: EnmlOptions,
+    match_fn=None,       # (poses) -> (tgt, valid) override; default brute
+    w_pin: Array | None = None,  # [W] bool — poses to pin (besides pose 0)
 ):
-    """`match_rounds` x (brute-force window NN match -> gn_iterations damped
-    GN steps on the dense [3W,3W] window system); pose 0 of the window fixed.
+    """`match_rounds` x (window NN match -> gn_iterations damped GN steps on
+    the dense [3W,3W] window system); pose 0 of the window fixed.
     Returns (poses, H) with H the final Hessian (for covariance extraction).
     """
     W, N, _ = w_pts.shape
@@ -114,25 +141,16 @@ def _window_gn(
     t2 = o.point_match_threshold**2
     min_cos = jnp.cos(o.max_stf_angle_error)
     wgt = o.point_correlation_factor / o.laser_std_dev
+    if w_pin is None:
+        w_pin = jnp.zeros((W,), bool)
+    pin = w_pin.at[0].set(True)
+    pin3 = jnp.repeat(pin, 3)
 
     def match(poses):
-        """Best cross-pose NN per point in world frame -> (tgt_idx, valid)."""
-        q = poses[pose_of]
-        pw = rotate(q[:, 2], flat_pts) + q[:, :2]
-        nw = rotate(q[:, 2], flat_nrm)
-        d2 = jnp.sum((pw[:, None, :] - pw[None, :, :]) ** 2, -1)  # [M, M]
-        cos = nw @ nw.T
-        ok = (
-            flat_mask[:, None]
-            & flat_mask[None, :]
-            & (pose_of[:, None] != pose_of[None, :])
-            & (d2 < t2)
-            & (cos > min_cos)
-        )
-        d2m = jnp.where(ok, d2, jnp.inf)
-        tgt = jnp.argmin(d2m, axis=1).astype(jnp.int32)
-        valid = jnp.isfinite(jnp.min(d2m, axis=1))
-        return tgt, valid
+        if match_fn is not None:
+            return match_fn(poses)
+        return _brute_window_match(poses, flat_pts, flat_nrm, flat_mask,
+                                   pose_of, t2, min_cos)
 
     def gn_round(carry, _):
         poses, _unused = carry
@@ -235,10 +253,12 @@ def _window_gn(
             g = g.at[s_pose].add((j0T @ rr[..., None])[..., 0])
             g = g.at[t_pose].add((j1T @ rr[..., None])[..., 0])
 
-            # window-first pose fixed
-            eye = jnp.eye(3, dtype=poses.dtype)
-            H = H.at[:3, :].set(0.0).at[:, :3].set(0.0).at[:3, :3].set(eye)
-            g = g.reshape(n3).at[:3].set(0.0)
+            # pin the window-first pose + any caller-pinned (inactive) poses:
+            # zero their rows/cols, identity diagonal, zero gradient
+            free3 = ~pin3
+            H = jnp.where(free3[:, None] & free3[None, :], H, 0.0)
+            H = H + jnp.diag(jnp.where(pin3, 1.0, 0.0).astype(poses.dtype))
+            g = jnp.where(free3, g.reshape(n3), 0.0)
             return H, g
 
         def gn_step(poses):

@@ -1,0 +1,255 @@
+"""Checkerboard-parallel EnML batch localizer.
+
+TPU-first alternative to the sequential sliding-window sweep in
+localizer.batch_localize (VectorMapping::BatchLocalize,
+vector_mapping.cpp:2673-2911). The reference's outer loop is inherently
+sequential — each window's seed depends on the previous window's solution.
+This module replaces that chain with a red/black (checkerboard) domain
+decomposition over the trajectory:
+
+  1. The trajectory is tiled into DISJOINT windows of W poses, at offsets 0
+     (even parity) and W//2 (odd parity). All windows of one parity are
+     independent given current pose estimates, so they are solved as ONE
+     batched GN problem (vmap over windows, chunked to bound the match
+     matrix's memory).
+  2. The sequential sweep's forward seeding is recovered exactly (to rigid
+     motion) by an SE(2) prefix-composition carry: each window k yields a
+     boundary correction dT_k = T_new(last) . T_old(last)^-1; window j's
+     solved block is premultiplied by carry_j = dT_0 ... dT_{j-1}
+     (log-depth jax.lax.associative_scan over homogeneous 3x3 matrices).
+     Rigid carries preserve every within-window factor (odometry + STF are
+     relative), so each window's local optimum survives the stitch.
+  3. Alternating parities covers the cross-boundary odometry/STF factors;
+     `n_passes` even/odd rounds replace the reference's convergence loop.
+
+Window matching: brute [M,M] for small windows (W*N <= brute_match_limit),
+else the grid-hash matcher (ops/correspond.grid_match) — which is what makes
+config-scale max_history=80 (config/non_markov_localization.cfg) feasible:
+80*N window match matrices would be ~[20k,20k] brute-force.
+
+Covariances: one final evaluation pass over the even tiling extracts every
+pose's 3x3 marginal from its window Hessian at the FINAL estimates, rotated
+into the pose frame (vector_mapping_main.cpp:2772-2812 semantics). Deviation
+(documented): the reference takes each pose's covariance from the last
+sliding window that contained it (stale poses); evaluating at the final
+estimate is strictly fresher.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...ops.correspond import grid_match
+from ...ops.geometry import angle_mod, rotate
+from .localizer import EnmlOptions, _odometry_targets, _window_gn
+
+Array = jax.Array
+
+# windows with more points than this use the grid matcher instead of the
+# dense [M, M] distance matrix
+BRUTE_MATCH_LIMIT = 4096
+
+
+def _se2_mat(poses: Array) -> Array:
+    """[..., 3] (x, y, th) -> [..., 3, 3] homogeneous."""
+    c, s = jnp.cos(poses[..., 2]), jnp.sin(poses[..., 2])
+    x, y = poses[..., 0], poses[..., 1]
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+    return jnp.stack([
+        jnp.stack([c, -s, x], -1),
+        jnp.stack([s, c, y], -1),
+        jnp.stack([zero, zero, one], -1),
+    ], axis=-2)
+
+
+def _se2_apply(T: Array, poses: Array) -> Array:
+    """Apply carry transform T [3,3] (or [B,1,3,3] batched) to poses
+    [..., 3]: p -> R p + t, th -> th + dth."""
+    xy = jnp.einsum("...ij,...j->...i",
+                    T[..., :2, :2], poses[..., :2]) + T[..., :2, 2]
+    dth = jnp.arctan2(T[..., 1, 0], T[..., 0, 0])
+    return jnp.concatenate([xy, (poses[..., 2] + dth)[..., None]], axis=-1)
+
+
+def _gather_windows(arr: Array, starts: Array, W: int, fill_clamp: int):
+    """[B] window starts -> [B, W, ...] gathered slices (indices clamped)."""
+    idx = starts[:, None] + jnp.arange(W)[None, :]
+    return arr[jnp.clip(idx, 0, fill_clamp)], idx
+
+
+def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
+    """Grid-hash window matcher with the same (tgt, valid) contract as the
+    brute matcher; used when W*N exceeds BRUTE_MATCH_LIMIT."""
+    pose_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
+
+    def match(poses):
+        q = poses[pose_of]
+        pw = (rotate(q[:, 2], flat_pts) + q[:, :2]).reshape(W, N, 2)
+        nw = rotate(q[:, 2], flat_nrm).reshape(W, N, 2)
+        import math
+
+        m = grid_match(pw, nw, flat_mask.reshape(W, N),
+                       threshold=o.point_match_threshold,
+                       min_cos=math.cos(o.max_stf_angle_error),
+                       grid_hw=256)
+        return m.target, m.valid
+
+    return match
+
+
+@partial(jax.jit,
+         static_argnames=("options", "n_passes", "chunk", "force_grid"))
+def checkerboard_localize(
+    points: Array,         # [P, N, 2] robot frame
+    normals: Array,        # [P, N, 2]
+    point_mask: Array,     # [P, N]
+    initial_poses: Array,  # [P, 3] odometry-integrated estimates
+    options: EnmlOptions = EnmlOptions(),
+    n_passes: int = 2,
+    chunk: int = 8,        # windows solved per vmap chunk (memory bound)
+    force_grid: bool = False,  # use the grid matcher regardless of size
+) -> tuple[Array, Array]:
+    """Full-trajectory batched sweep. Returns (poses [P,3], covs [P,3,3])."""
+    o = options
+    P, N, _ = points.shape
+    W = min(o.max_history, P)
+    half = max(W // 2, 1)
+    dtype = initial_poses.dtype
+
+    axis, d, rot, isig = _odometry_targets(initial_poses, o)
+
+    # pad the pose axis by one dump row so masked scatter writes are clean
+    def padp(a, fill=0.0):
+        return jnp.concatenate(
+            [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    use_grid = force_grid or (W * N > BRUTE_MATCH_LIMIT)
+
+    def starts_for(parity):
+        # disjoint tiling of [parity*half, P) by stride W; tail windows are
+        # partially masked (indices >= P pinned)
+        first = parity * half
+        n_win = -(-(P - first) // W) if P > first else 0
+        return first + W * jnp.arange(max(n_win, 1)), max(n_win, 1)
+
+    def solve_one(start, poses):
+        """One window GN solve; returns (new window poses [W,3], H)."""
+        w_poses, idx = _gather_windows(poses, start[None], W, P - 1)
+        w_poses, idx = w_poses[0], idx[0]
+        active = idx < P
+        w_pts = points[jnp.clip(idx, 0, P - 1)]
+        w_nrm = normals[jnp.clip(idx, 0, P - 1)]
+        w_mask = point_mask[jnp.clip(idx, 0, P - 1)] & active[:, None]
+        cidx = jnp.clip(idx[:-1], 0, P - 2)
+        w_axis, w_d, w_rot, w_isig = (axis[cidx], d[cidx], rot[cidx],
+                                      isig[cidx])
+        w_chain_valid = (idx[:-1] < P - 1).astype(dtype)
+
+        match_fn = None
+        if use_grid:
+            match_fn = _make_match_fn(
+                w_pts.reshape(W * N, 2), w_nrm.reshape(W * N, 2),
+                w_mask.reshape(W * N), W, N, o)
+        new_poses, H = _window_gn(
+            w_poses, w_pts, w_nrm, w_mask, w_axis, w_d, w_rot, w_isig,
+            w_chain_valid, o, match_fn=match_fn, w_pin=~active,
+        )
+        new_poses = jnp.where(active[:, None], new_poses, w_poses)
+        return new_poses, H, idx, active
+
+    def solve_parity_chunked(starts, poses):
+        B = starts.shape[0]
+        Bpad = -(-B // chunk) * chunk
+        starts_p = jnp.concatenate(
+            [starts, jnp.full((Bpad - B,), P + W, starts.dtype)])
+
+        def run_chunk(chunk_starts):
+            return jax.vmap(lambda s: solve_one(s, poses))(chunk_starts)
+
+        out = lax.map(run_chunk, starts_p.reshape(-1, chunk))
+        new_poses, H, idx, active = jax.tree_util.tree_map(
+            lambda a: a.reshape((Bpad,) + a.shape[2:]), out)
+        return (new_poses[:B], H[:B], idx[:B], active[:B])
+
+    def half_pass(poses, parity_starts):
+        starts = parity_starts
+        new_wposes, _H, idx, active = solve_parity_chunked(starts, poses)
+
+        # SE(2) carry: boundary correction at each window's last ACTIVE pose
+        last_j = jnp.maximum(jnp.sum(active, axis=1) - 1, 0)       # [B]
+        brow = jnp.arange(starts.shape[0])
+        old_last = poses[jnp.clip(starts + last_j, 0, P - 1)]      # [B,3]
+        new_last = new_wposes[brow, last_j]                        # [B,3]
+        dT = _se2_mat(new_last) @ jnp.linalg.inv(_se2_mat(old_last))
+        # windows with no active pose contribute identity
+        eye = jnp.eye(3, dtype=dtype)
+        dT = jnp.where(jnp.any(active, 1)[:, None, None], dT, eye)
+        carry_inc = lax.associative_scan(jnp.matmul, dT, axis=0)   # inclusive
+        carry = jnp.concatenate([eye[None], carry_inc[:-1]], 0)    # exclusive
+
+        carried = _se2_apply(carry[:, None, :, :], new_wposes)     # [B,W,3]
+
+        # scatter back (disjoint windows; masked rows -> dump row P)
+        tgt = jnp.where(active, idx, P).reshape(-1)
+        out = padp(poses).at[tgt].set(carried.reshape(-1, 3))[:P]
+        # head poses before the first window keep their estimate (parity 1);
+        # nothing else is outside the tiling
+        return out
+
+    starts0_np, _ = starts_for(0)
+    starts1_np, _ = starts_for(1)
+
+    poses = initial_poses
+    for _ in range(n_passes):
+        poses = half_pass(poses, starts0_np)
+        if P > half:
+            poses = half_pass(poses, starts1_np)
+
+    # ---- covariance extraction (even tiling): one more window solve per
+    # even window at the final estimates; its Hessian (evaluated at the
+    # window's refined poses) provides every pose's 3x3 marginal ----
+    B0 = starts0_np.shape[0]
+    Bpad = -(-B0 // chunk) * chunk
+    starts_p = jnp.concatenate(
+        [starts0_np, jnp.full((Bpad - B0,), P + W, starts0_np.dtype)])
+
+    def run_chunk(chunk_starts):
+        def one(s):
+            _np_, H, idx, active = solve_one(s, poses)
+            m3 = jnp.repeat(active, 3)
+            H = jnp.where(m3[:, None] & m3[None, :], H, 0.0)
+            H = H + jnp.diag(jnp.where(m3, 1e-9, 1.0).astype(dtype))
+            cov_full = jnp.linalg.inv(H)
+            blocks = jax.vmap(
+                lambda j: lax.dynamic_slice(cov_full, (3 * j, 3 * j), (3, 3))
+            )(jnp.arange(W))
+            th = _np_[:, 2]
+            c, s_ = jnp.cos(-th), jnp.sin(-th)
+            zero = jnp.zeros_like(c)
+            one_ = jnp.ones_like(c)
+            T = jnp.stack([
+                jnp.stack([c, -s_, zero], -1),
+                jnp.stack([s_, c, zero], -1),
+                jnp.stack([zero, zero, one_], -1),
+            ], axis=-2)
+            covs = T @ blocks @ jnp.swapaxes(T, -1, -2)
+            return covs, idx, active
+
+        return jax.vmap(one)(chunk_starts)
+
+    covs, idxs, actives = jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]),
+        lax.map(run_chunk, starts_p.reshape(-1, chunk)))
+    covs, idxs, actives = covs[:B0 * W].reshape(-1, 3, 3), \
+        idxs[:B0 * W].reshape(-1), actives[:B0 * W].reshape(-1)
+    tgt = jnp.where(actives, idxs, P)
+    covariances = jnp.zeros((P + 1, 3, 3), dtype).at[tgt].set(covs)[:P]
+    covariances = covariances.at[0].set(jnp.eye(3, dtype=dtype) * 1e-6)
+
+    poses = poses.at[:, 2].set(angle_mod(poses[:, 2]))
+    return poses, covariances

@@ -158,3 +158,61 @@ def test_keyframes_and_corrections_and_artifacts(stream, tmp_path):
     assert img.shape == (3, 3)
     with open(tmp_path / "cons.png", "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.fixture(scope="module")
+def small_episode_state(stream):
+    from hitl_slam_tpu.core.state import make_map_state
+
+    scans, angles, rel, gt, walls = stream
+    poses, pcs, ncs, rels = build_episodes(
+        scans[:80], angles, rel[:80],
+        EpisodeOptions(clip_low=10, clip_high=10))
+    st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
+                        pcs, ncs)
+    return st, poses, pcs
+
+
+def test_checkerboard_localize_matches_sequential(small_episode_state):
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions, batch_localize
+    from hitl_slam_tpu.models.enml.parallel_localizer import (
+        checkerboard_localize)
+
+    st, poses0, pcs = small_episode_state
+    o = EnmlOptions()
+    sp, sc = batch_localize(st.points, st.normals, st.point_mask, st.poses, o)
+    pp, pc = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                   st.poses, o)
+    pp, sp = np.asarray(pp), np.asarray(sp)
+    assert np.isfinite(pp).all() and np.isfinite(np.asarray(pc)).all()
+    # both solvers register the same factors; solutions agree to ~decimeter
+    assert np.abs(pp[:, :2] - sp[:, :2]).max() < 0.2, \
+        np.abs(pp - sp).max()
+    # the checkerboard result is at least as consistent as the input
+    before = consistency_metric(poses0, pcs)
+    after = consistency_metric(pp, pcs)
+    assert after <= before * 1.02, (before, after)
+    # covariances: symmetric, PSD, pose 0 is the gauge
+    covs = np.asarray(pc)
+    for i in range(len(covs)):
+        np.testing.assert_allclose(covs[i], covs[i].T, atol=1e-5)
+        assert (np.linalg.eigvalsh(covs[i]) > -1e-6).all(), i
+
+
+def test_checkerboard_grid_matcher_path(small_episode_state):
+    """force_grid exercises the grid-hash window matcher (the max_history=80
+    configuration path) at test-friendly sizes."""
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions
+    from hitl_slam_tpu.models.enml.parallel_localizer import (
+        checkerboard_localize)
+
+    st, poses0, pcs = small_episode_state
+    o = EnmlOptions(gn_iterations=6, match_rounds=1)
+    pb, _ = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                  st.poses, o, n_passes=1)
+    pg, _ = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                  st.poses, o, n_passes=1, force_grid=True)
+    pb, pg = np.asarray(pb), np.asarray(pg)
+    assert np.isfinite(pg).all()
+    # grid matcher finds (nearly) the same NNs as the brute matcher
+    assert np.abs(pb - pg).max() < 0.05, np.abs(pb - pg).max()
