@@ -20,7 +20,13 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(prog="enml-tpu", description=__doc__)
-    p.add_argument("-b", "--bag", default=None, help=".npz scan stream")
+    p.add_argument("-b", "--bag", default=None,
+                   help="ROS1 .bag (sensor_msgs/LaserScan + odometry) or "
+                        ".npz scan stream")
+    p.add_argument("--max-laser-poses", type=int, default=None,
+                   help="stop after this many laser messages (bag input)")
+    p.add_argument("--time-skip", type=float, default=0.0,
+                   help="seconds of bag to skip from the start")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic figure-8 stream instead")
     p.add_argument("--steps", type=int, default=256)
@@ -47,6 +53,21 @@ def _load_stream(args):
 
         scans, angles, rel, gt, _ = generate_raw_stream(
             num_steps=args.steps, seed=args.seed)
+        return list(scans), angles, rel
+    if args.bag.endswith(".bag"):
+        from .io.rosbag import bag_to_stream
+
+        scans, angles, rel, set_loc = bag_to_stream(
+            args.bag, max_laser_msgs=args.max_laser_poses,
+            time_skip=args.time_skip)
+        if set_loc is not None:
+            # anchor the trajectory in the map frame: fold the set_location
+            # pose into the first relative-odometry row (the reference sets
+            # global_location/angle, vector_mapping_main.cpp:1271-1289)
+            print(f"set_location: x={set_loc[0]:.2f} y={set_loc[1]:.2f} "
+                  f"angle={set_loc[2]:.3f}")
+            rel = rel.copy()
+            rel[0] = [set_loc[0], set_loc[1], set_loc[2]]
         return list(scans), angles, rel
     data = np.load(args.bag)
     return list(data["scans"]), data["angles"], data["rel_odometry"]

@@ -1,0 +1,381 @@
+"""Minimal self-contained ROS1 `.bag` (format v2.0) reader + writer.
+
+Real-data ingestion for EnML without roscpp: the reference's front end is
+rosbag -> LoadLaserMessage / LoadOdometryMessage / LoadSetLocationMessage ->
+AddPose (vector_mapping_main.cpp:1072-1320, LoadRosBag :1320). The bag format
+is self-describing (http://wiki.ros.org/Bags/Format/2.0): a version line then
+length-prefixed records, each a header (length-prefixed name=value fields)
+plus a data blob. Messages live inside chunk records (compression none/bz2
+supported here; lz4 raises a clear error).
+
+Supported message types (hand-rolled little-endian deserializers, layouts
+from the .msg definitions in /root/reference/vector_slam_msgs/msg and the
+ROS common_msgs):
+
+  sensor_msgs/LaserScan            topics laser, /Cobot/Laser, kinect_scan
+  nav_msgs/Odometry                topic  odom        (standardized bags)
+  vector_slam_msgs/CobotOdometryMsg topic /Cobot/Odometry (dr,dx,dy deltas)
+  vector_slam_msgs/LocalizationMsg  topic set_location
+
+`bag_to_stream` mirrors the reference's odometry bookkeeping: standardized
+nav_msgs/Odometry is differenced against the pose at the previous laser node
+(vector_mapping_main.cpp:1216-1236); CobotOdometryMsg deltas accumulate in
+the running relative frame (:1256-1263). The writer emits spec-conforming
+uncompressed bags (used by tests and by the synthetic-stream exporter).
+"""
+
+from __future__ import annotations
+
+import bz2
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+_OP_BAG_HEADER = 0x03
+_OP_CHUNK = 0x05
+_OP_CONNECTION = 0x07
+_OP_MESSAGE_DATA = 0x02
+_OP_INDEX_DATA = 0x04
+_OP_CHUNK_INFO = 0x06
+
+VERSION_LINE = b"#ROSBAG V2.0\n"
+
+LASER_TOPICS = ("laser", "/Cobot/Laser", "kinect_scan")
+ODOM_TOPIC_STD = "odom"
+ODOM_TOPIC_COBOT = "/Cobot/Odometry"
+SET_LOCATION_TOPIC = "set_location"
+
+
+# ---------------------------------------------------------------------------
+# record-level framing
+# ---------------------------------------------------------------------------
+
+def _parse_header(buf: bytes) -> dict:
+    fields = {}
+    off = 0
+    n = len(buf)
+    while off + 4 <= n:
+        (flen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        field = buf[off:off + flen]
+        off += flen
+        eq = field.find(b"=")
+        if eq >= 0:
+            fields[field[:eq].decode()] = field[eq + 1:]
+    return fields
+
+
+def _iter_records(buf: bytes, off: int = 0):
+    n = len(buf)
+    while off + 4 <= n:
+        (hlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        header = _parse_header(buf[off:off + hlen])
+        off += hlen
+        (dlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        data = buf[off:off + dlen]
+        off += dlen
+        yield header, data
+
+
+@dataclass
+class BagMessage:
+    topic: str
+    msgtype: str
+    time: float       # seconds
+    raw: bytes        # serialized message body
+
+
+def read_messages(path: str):
+    """Yield BagMessage for every message record, in chunk order."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(VERSION_LINE):
+        raise ValueError(
+            f"not a ROS bag v2.0 file: {path!r} (bad version line)")
+    conns: dict[int, tuple[str, str]] = {}
+
+    def handle(header, data):
+        op = header.get("op", b"\x00")[0]
+        if op == _OP_CONNECTION:
+            cid = struct.unpack("<I", header["conn"])[0]
+            topic = header.get("topic", b"").decode()
+            sub = _parse_header(data)
+            msgtype = sub.get("type", b"").decode()
+            # the connection data's own 'topic' (original name) wins if set
+            conns[cid] = (topic or sub.get("topic", b"").decode(), msgtype)
+            return None
+        if op == _OP_MESSAGE_DATA:
+            cid = struct.unpack("<I", header["conn"])[0]
+            secs, nsecs = struct.unpack("<II", header["time"])
+            topic, msgtype = conns.get(cid, ("?", "?"))
+            return BagMessage(topic, msgtype, secs + 1e-9 * nsecs, data)
+        return None
+
+    for header, data in _iter_records(blob, len(VERSION_LINE)):
+        op = header.get("op", b"\x00")[0]
+        if op == _OP_CHUNK:
+            comp = header.get("compression", b"none").decode()
+            if comp == "none":
+                payload = data
+            elif comp == "bz2":
+                payload = bz2.decompress(data)
+            else:
+                raise ValueError(
+                    f"unsupported chunk compression {comp!r} "
+                    "(only none/bz2; re-record or decompress the bag)")
+            for h2, d2 in _iter_records(payload):
+                msg = handle(h2, d2)
+                if msg is not None:
+                    yield msg
+        else:
+            msg = handle(header, data)
+            if msg is not None:
+                yield msg
+
+
+# ---------------------------------------------------------------------------
+# message deserializers
+# ---------------------------------------------------------------------------
+
+def _skip_ros_header(raw: bytes, off: int = 0) -> int:
+    """std_msgs/Header: uint32 seq, time stamp, string frame_id."""
+    off += 4 + 8
+    (slen,) = struct.unpack_from("<I", raw, off)
+    return off + 4 + slen
+
+
+def parse_laser_scan(raw: bytes):
+    """-> dict(angle_min, angle_increment, range_min, range_max, ranges)."""
+    off = _skip_ros_header(raw)
+    (angle_min, angle_max, angle_increment, time_increment, scan_time,
+     range_min, range_max) = struct.unpack_from("<7f", raw, off)
+    off += 28
+    (n,) = struct.unpack_from("<I", raw, off)
+    off += 4
+    ranges = np.frombuffer(raw, np.float32, n, off).copy()
+    return dict(angle_min=angle_min, angle_max=angle_max,
+                angle_increment=angle_increment, range_min=range_min,
+                range_max=range_max, ranges=ranges)
+
+
+def parse_odometry(raw: bytes):
+    """nav_msgs/Odometry -> (x, y, theta) from pose.pose; theta via the
+    planar quaternion convention 2*atan2(z, w) (:1223-1226)."""
+    off = _skip_ros_header(raw)
+    (slen,) = struct.unpack_from("<I", raw, off)   # child_frame_id
+    off += 4 + slen
+    x, y, _z = struct.unpack_from("<3d", raw, off)
+    off += 24
+    qx, qy, qz, qw = struct.unpack_from("<4d", raw, off)
+    theta = 2.0 * np.arctan2(qz, qw)
+    return float(x), float(y), float(theta)
+
+
+def parse_cobot_odometry(raw: bytes):
+    """vector_slam_msgs/CobotOdometryMsg -> (dr, dx, dy)."""
+    off = _skip_ros_header(raw)
+    dr, dx, dy = struct.unpack_from("<3f", raw, off)
+    return float(dr), float(dx), float(dy)
+
+
+def parse_localization(raw: bytes):
+    """vector_slam_msgs/LocalizationMsg -> (x, y, angle)."""
+    (slen,) = struct.unpack_from("<I", raw, 0)
+    off = 4 + slen
+    x, y, _z = struct.unpack_from("<3d", raw, off)
+    off += 24
+    (angle,) = struct.unpack_from("<f", raw, off)
+    return float(x), float(y), float(angle)
+
+
+# ---------------------------------------------------------------------------
+# EnML ingestion: bag -> (scans, angles, rel_odometry, set_locations)
+# ---------------------------------------------------------------------------
+
+def bag_to_stream(path: str, max_laser_msgs: int | None = None,
+                  time_skip: float = 0.0):
+    """Convert a bag into the EnML driver's raw-stream arrays.
+
+    Returns (scans [T,R] f32, angles [R] f32, rel_odometry [T,3] f32,
+    set_location | None). rel_odometry[i] is the odometry motion between
+    laser scans i-1 and i in scan i-1's frame (dx, dy, dtheta); row 0 is 0.
+    """
+    scans: list[np.ndarray] = []
+    rels: list[np.ndarray] = []
+    angles = None
+    meta = None
+    set_location = None
+    t0 = None
+
+    # standardized-odometry bookkeeping: pose at previous laser node
+    last_abs = None       # (x, y, theta) at last laser
+    cur_abs = None        # latest nav_msgs/Odometry pose
+    # cobot-delta bookkeeping: accumulated relative motion since last laser
+    rel_loc = np.zeros(2, np.float64)
+    rel_ang = 0.0
+
+    for msg in read_messages(path):
+        if t0 is None:
+            t0 = msg.time
+        if msg.time - t0 < time_skip:
+            continue
+        if msg.msgtype == "sensor_msgs/LaserScan" and (
+                msg.topic in LASER_TOPICS):
+            scan = parse_laser_scan(msg.raw)
+            if angles is None:
+                n = len(scan["ranges"])
+                angles = (scan["angle_min"]
+                          + scan["angle_increment"] * np.arange(n)).astype(
+                              np.float32)
+                meta = scan
+            if cur_abs is not None:
+                # difference absolute odometry against the last laser node
+                if last_abs is None:
+                    rel = np.zeros(3, np.float64)
+                else:
+                    dx, dy = cur_abs[0] - last_abs[0], cur_abs[1] - last_abs[1]
+                    c, s = np.cos(-last_abs[2]), np.sin(-last_abs[2])
+                    dth = np.arctan2(np.sin(cur_abs[2] - last_abs[2]),
+                                     np.cos(cur_abs[2] - last_abs[2]))
+                    rel = np.array([c * dx - s * dy, s * dx + c * dy, dth])
+                last_abs = cur_abs
+            else:
+                rel = np.array([rel_loc[0], rel_loc[1], rel_ang])
+                rel_loc = np.zeros(2, np.float64)
+                rel_ang = 0.0
+            scans.append(scan["ranges"])
+            rels.append(rel.astype(np.float32))
+            if max_laser_msgs and len(scans) >= max_laser_msgs:
+                break
+        elif msg.msgtype == "nav_msgs/Odometry" and (
+                msg.topic == ODOM_TOPIC_STD):
+            cur_abs = parse_odometry(msg.raw)
+            if last_abs is None:
+                last_abs = cur_abs
+        elif msg.msgtype == "vector_slam_msgs/CobotOdometryMsg" and (
+                msg.topic == ODOM_TOPIC_COBOT):
+            dr, dx, dy = parse_cobot_odometry(msg.raw)
+            c, s = np.cos(rel_ang), np.sin(rel_ang)
+            rel_loc += np.array([c * dx - s * dy, s * dx + c * dy])
+            rel_ang += dr
+        elif msg.msgtype == "vector_slam_msgs/LocalizationMsg" and (
+                msg.topic == SET_LOCATION_TOPIC):
+            set_location = parse_localization(msg.raw)
+
+    if not scans:
+        raise ValueError(f"no laser scans found in {path!r} "
+                         f"(looked for topics {LASER_TOPICS})")
+    scans_arr = np.stack(scans).astype(np.float32)
+    rel_arr = np.stack(rels).astype(np.float32)
+    # clip ranges into the sensor's valid interval like AddPose (:1090-1105)
+    lo, hi = meta["range_min"], meta["range_max"]
+    scans_arr = np.where(np.isfinite(scans_arr), scans_arr, hi + 1.0)
+    return scans_arr, angles, rel_arr, set_location
+
+
+# ---------------------------------------------------------------------------
+# writer (uncompressed, single chunk) + serializers
+# ---------------------------------------------------------------------------
+
+def _field(name: str, value: bytes) -> bytes:
+    body = name.encode() + b"=" + value
+    return struct.pack("<I", len(body)) + body
+
+
+def _record(fields: dict, data: bytes) -> bytes:
+    header = b"".join(_field(k, v) for k, v in fields.items())
+    return (struct.pack("<I", len(header)) + header
+            + struct.pack("<I", len(data)) + data)
+
+
+def _time(t: float) -> bytes:
+    secs = int(t)
+    nsecs = int(round((t - secs) * 1e9))
+    return struct.pack("<II", secs, nsecs)
+
+
+def serialize_laser_scan(ranges, angle_min, angle_increment,
+                         range_min=0.02, range_max=10.0,
+                         stamp=0.0, frame_id=b"laser") -> bytes:
+    ranges = np.asarray(ranges, np.float32)
+    n = len(ranges)
+    hdr = (struct.pack("<I", 0) + _time(stamp)
+           + struct.pack("<I", len(frame_id)) + frame_id)
+    angle_max = angle_min + angle_increment * (n - 1)
+    body = struct.pack("<7f", angle_min, angle_max, angle_increment,
+                       0.0, 0.0, range_min, range_max)
+    return (hdr + body + struct.pack("<I", n) + ranges.tobytes()
+            + struct.pack("<I", 0))  # empty intensities
+
+
+def serialize_cobot_odometry(dr, dx, dy, stamp=0.0) -> bytes:
+    hdr = struct.pack("<I", 0) + _time(stamp) + struct.pack("<I", 0)
+    return (hdr + struct.pack("<3f", dr, dx, dy)
+            + struct.pack("<4f", 0, 0, 0, 0)       # v0..v3
+            + struct.pack("<3f", 0, 0, 0)          # vr vx vy
+            + struct.pack("<f", 0.0) + b"\x00")    # VBatt, status
+
+
+def serialize_odometry(x, y, theta, stamp=0.0) -> bytes:
+    hdr = struct.pack("<I", 0) + _time(stamp) + struct.pack("<I", 0)
+    child = struct.pack("<I", 0)
+    pose = struct.pack("<3d", x, y, 0.0) + struct.pack(
+        "<4d", 0.0, 0.0, np.sin(theta / 2.0), np.cos(theta / 2.0))
+    cov = struct.pack("<36d", *([0.0] * 36))
+    twist = struct.pack("<6d", *([0.0] * 6)) + cov
+    return hdr + child + pose + cov + twist
+
+
+def serialize_localization(x, y, angle, map_name=b"map") -> bytes:
+    return (struct.pack("<I", len(map_name)) + map_name
+            + struct.pack("<3d", x, y, 0.0) + struct.pack("<f", angle))
+
+
+def write_bag(path: str, messages, compression: str = "none") -> None:
+    """messages: iterable of (topic, msgtype, time_s, raw_bytes). Writes a
+    v2.0 bag with one chunk (compression none or bz2; no index records —
+    readers that need them re-index; this reader scans chunks directly)."""
+    topics = {}
+    chunk_parts = []
+    msg_list = list(messages)
+    for topic, msgtype, _t, _raw in msg_list:
+        if topic not in topics:
+            cid = len(topics)
+            topics[topic] = cid
+            conn_data = (_field("topic", topic.encode())
+                         + _field("type", msgtype.encode())
+                         + _field("md5sum", b"0" * 32)
+                         + _field("message_definition", b""))
+            chunk_parts.append(_record(
+                {"op": bytes([_OP_CONNECTION]),
+                 "conn": struct.pack("<I", cid),
+                 "topic": topic.encode()}, conn_data))
+    for topic, _msgtype, t, raw in msg_list:
+        chunk_parts.append(_record(
+            {"op": bytes([_OP_MESSAGE_DATA]),
+             "conn": struct.pack("<I", topics[topic]),
+             "time": _time(t)}, raw))
+    chunk = b"".join(chunk_parts)
+    size = len(chunk)
+    if compression == "bz2":
+        chunk = bz2.compress(chunk)
+    elif compression != "none":
+        raise ValueError(f"unsupported compression {compression!r}")
+
+    with open(path, "wb") as f:
+        f.write(VERSION_LINE)
+        # bag header record, padded to 4096 bytes as per spec
+        bh_fields = {"op": bytes([_OP_BAG_HEADER]),
+                     "index_pos": struct.pack("<Q", 0),
+                     "conn_count": struct.pack("<I", len(topics)),
+                     "chunk_count": struct.pack("<I", 1)}
+        header = b"".join(_field(k, v) for k, v in bh_fields.items())
+        pad = 4096 - 4 - len(header) - 4
+        f.write(struct.pack("<I", len(header)) + header
+                + struct.pack("<I", pad) + b" " * pad)
+        f.write(_record(
+            {"op": bytes([_OP_CHUNK]), "compression": compression.encode(),
+             "size": struct.pack("<I", size)}, chunk))
