@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test-mode", action="store_true",
                    help="GUI stress mode: stream synthetic draw-lists "
                         "(reference: vector_display --test-mode)")
+    p.add_argument("--post-optimize", action="store_true",
+                   help="run the STF correspondence refinement after the "
+                        "replay (the reference's dormant "
+                        "PostHumanOptimization stage, live here; dense "
+                        "solve <=2k poses, matrix-free PCG above)")
     return p
 
 
@@ -185,6 +190,13 @@ def main(argv=None) -> int:
                   f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g})")
         total = time.perf_counter() - t_start
         print(f"replayed {len(input_log)} corrections in {total:.2f} s")
+        if args.post_optimize:
+            t0 = time.perf_counter()
+            rep = engine.post_optimize()
+            dt = (time.perf_counter() - t0) * 1e3
+            print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
+                  f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g} "
+                  f"({dt:.1f} ms)")
         save_results()
         write_info_mat()
         render()

@@ -17,12 +17,18 @@ from ...core.state import ConstraintTable
 from ...ops import correspond as C
 from ...ops.geometry import pose_to_world, rotate
 from ...solver.lm import LMConfig
-from ...solver.stf_solve import STFSolveResult, stf_lm_solve
+from ...solver.stf_solve import (STFSolveResult, stf_lm_solve,
+                                 stf_pcg_lm_solve)
 
 Array = jax.Array
 
+# above this pose count the dense [3P,3P] refine Hessian (37 MB at P=1024,
+# 2.4 GB at P=8192) gives way to the matrix-free PCG solve
+DENSE_POSE_LIMIT = 2048
 
-@partial(jax.jit, static_argnames=("capacity", "config", "include_chain"))
+
+@partial(jax.jit, static_argnames=("capacity", "config", "include_chain",
+                                   "solver"))
 def post_human_refine(
     points: Array,       # [P, N, 2] robot frame
     normals: Array,      # [P, N, 2]
@@ -32,10 +38,13 @@ def post_human_refine(
     capacity: int = 65536,
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
+    solver: str = "auto",   # "dense" | "pcg" | "auto" (pcg above 2k poses)
 ) -> STFSolveResult:
     world = pose_to_world(poses[:, None, :], points)
     world_nrm = rotate(poses[:, 2][:, None], normals)
     matches = C.grid_match(world, world_nrm, point_mask)
     stf = C.build_stf_factors(points, normals, matches, capacity=capacity)
-    return stf_lm_solve(poses, table, stf, config=config,
-                        include_chain=include_chain)
+    if solver == "auto":
+        solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense"
+    fn = stf_pcg_lm_solve if solver == "pcg" else stf_lm_solve
+    return fn(poses, table, stf, config=config, include_chain=include_chain)

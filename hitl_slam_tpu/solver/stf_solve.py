@@ -111,6 +111,123 @@ class STFSolveResult:
     num_matches: Array
 
 
+# ---------------------------------------------------------------------------
+# matrix-free path: PCG on (chain tridiagonal + STF diag) with the STF
+# off-diagonal coupling applied factor-wise — no [3P,3P] ever materializes.
+# At P=8192 the dense Hessian would be 2.4 GB; this path is O(P + C).
+# ---------------------------------------------------------------------------
+
+def _stf_diag_and_gradient(stf: C.STFFactors, poses: Array):
+    """Per-pose STF Hessian diagonal blocks [P,3,3] and gradient [P,3];
+    pose 0 contributions zeroed (gauge)."""
+    P = poses.shape[0]
+    r = C.stf_residuals(stf, poses)
+    J0, J1 = C.stf_jacobians(stf, poses)
+    J0T, J1T = jnp.swapaxes(J0, -1, -2), jnp.swapaxes(J1, -1, -2)
+    Dh = jnp.zeros((P, 3, 3), poses.dtype)
+    Dh = Dh.at[stf.pose0].add(J0T @ J0).at[stf.pose1].add(J1T @ J1)
+    g = jnp.zeros((P, 3), poses.dtype)
+    g = g.at[stf.pose0].add((J0T @ r[..., None])[..., 0])
+    g = g.at[stf.pose1].add((J1T @ r[..., None])[..., 0])
+    Dh = Dh.at[0].set(0.0)
+    g = g.at[0].set(0.0)
+    cost = 0.5 * jnp.sum(r * r)
+    return Dh, g, cost, (J0, J1)
+
+
+def _stf_offdiag_matvec(stf: C.STFFactors, J0: Array, J1: Array):
+    """v [P,3] -> off-diagonal STF Hessian product (J0^T J1 v1 at pose0 +
+    J1^T J0 v0 at pose1), gauge row 0 projected out."""
+
+    def mv(v):
+        P = v.shape[0]
+        vz = v.at[0].set(0.0)
+        v0 = vz[stf.pose0][..., None]          # [C,3,1]
+        v1 = vz[stf.pose1][..., None]
+        a = jnp.swapaxes(J0, -1, -2) @ (J1 @ v1)   # [C,3,1]
+        b = jnp.swapaxes(J1, -1, -2) @ (J0 @ v0)
+        out = jnp.zeros((P, 3), v.dtype)
+        out = out.at[stf.pose0].add(a[..., 0]).at[stf.pose1].add(b[..., 0])
+        return out.at[0].set(0.0)
+
+    return mv
+
+
+@partial(jax.jit, static_argnames=("config", "include_chain"))
+def stf_pcg_lm_solve(
+    poses0: Array,
+    table: ConstraintTable,
+    stf: C.STFFactors,
+    config: LMConfig = LMConfig(max_iterations=30),
+    include_chain: bool = True,
+) -> STFSolveResult:
+    """Matrix-free LM: same problem as stf_lm_solve, linear solves by
+    block-Jacobi PCG (solver/cg.py) instead of a dense factorization."""
+    from .cg import pcg_solve
+    from .joint import cost as chain_cost
+
+    dtype = poses0.dtype
+    P = poses0.shape[0]
+    problem = build_problem(poses0, table)
+
+    def cost_only(x):
+        c = chain_cost(problem, x) if include_chain else jnp.zeros((), dtype)
+        r = C.stf_residuals(stf, x)
+        return c + 0.5 * jnp.sum(r * r)
+
+    c0 = cost_only(poses0)
+
+    def body(state):
+        x, mu, nu, c, it, done = state
+        if include_chain:
+            D, U, g, _ = normal_equations(problem, x)
+        else:
+            # gauge: pin pose 0 like the dense path
+            D = jnp.zeros((P, 3, 3), dtype).at[0].set(jnp.eye(3, dtype=dtype))
+            U = jnp.zeros((P - 1, 3, 3), dtype)
+            g = jnp.zeros((P, 3), dtype)
+        Dh, gh, _, (J0, J1) = _stf_diag_and_gradient(stf, x)
+        D_aug = D + Dh
+        g_tot = g + gh
+        diag = jnp.clip(jnp.diagonal(D_aug, axis1=-2, axis2=-1),
+                        config.min_diagonal, config.max_diagonal)
+        D_damped = D_aug + mu * jax.vmap(jnp.diag)(diag)
+        step, _res, _cgit = pcg_solve(
+            D_damped, U, -g_tot,
+            extra_matvec=_stf_offdiag_matvec(stf, J0, J1),
+            max_iterations=200, tolerance=1e-5,
+        )
+        x_new = x + step
+        c_new = cost_only(x_new)
+        pred = 0.5 * jnp.sum(step * (mu * diag * step - g_tot))
+        rho = (c - c_new) / jnp.maximum(pred, 1e-30)
+        accept = (rho > 0) & jnp.isfinite(c_new)
+        x = jnp.where(accept, x_new, x)
+        c_next = jnp.where(accept, c_new, c)
+        factor = jnp.maximum(1.0 / 3.0,
+                             1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
+        mu = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
+        nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+        fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
+        sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
+                          * (jnp.linalg.norm(x) + config.parameter_tolerance))
+        mdone = mu >= config.mu_collapse
+        return x, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+
+    def cond(state):
+        _, _, _, _, it, done = state
+        return (it < config.max_iterations) & ~done
+
+    init = (poses0, jnp.asarray(config.initial_mu, dtype),
+            jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+    x, _, _, c, it, _ = lax.while_loop(cond, body, init)
+    return STFSolveResult(
+        poses=x, final_cost=c, initial_cost=c0, iterations=it,
+        num_matches=jnp.sum(stf.valid),
+    )
+
+
 @partial(jax.jit, static_argnames=("config", "include_chain"))
 def stf_lm_solve(
     poses0: Array,

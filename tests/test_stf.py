@@ -121,3 +121,30 @@ def test_post_optimize_on_session(small_map):
     poses = eng.get_poses()
     assert np.isfinite(poses).all()
     assert rep.final_cost <= rep.initial_cost * 1.0 + 1e-6
+
+
+def test_pcg_refine_matches_dense(small_map):
+    """The matrix-free PCG refine (the P>2k path that never materializes a
+    [3P,3P] Hessian) must reproduce the dense-solver result."""
+    from hitl_slam_tpu.core.state import ConstraintTable, make_map_state
+    from hitl_slam_tpu.models.hitl.refine import post_human_refine
+    from hitl_slam_tpu.solver.lm import LMConfig
+
+    m = small_map
+    st = make_map_state(m.poses, m.covariances, m.point_clouds,
+                        m.normal_clouds, constraint_capacity=64)
+    cfg = LMConfig(max_iterations=12)
+    dense = post_human_refine(st.points, st.normals, st.point_mask, st.poses,
+                              st.constraints, capacity=8192, config=cfg,
+                              solver="dense")
+    pcg = post_human_refine(st.points, st.normals, st.point_mask, st.poses,
+                            st.constraints, capacity=8192, config=cfg,
+                            solver="pcg")
+    assert int(dense.num_matches) == int(pcg.num_matches) > 0
+    # same optimum (different linear solvers, same normal equations)
+    np.testing.assert_allclose(np.asarray(pcg.poses), np.asarray(dense.poses),
+                               atol=2e-3)
+    assert float(pcg.final_cost) <= float(dense.final_cost) * 1.05 + 1e-6
+    # gauge: pose 0 untouched by both
+    np.testing.assert_allclose(np.asarray(pcg.poses[0]),
+                               np.asarray(st.poses[0]), atol=1e-6)
