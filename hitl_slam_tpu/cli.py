@@ -203,12 +203,15 @@ def main(argv=None) -> int:
         return 0
 
     if args.gui:
-        from .gui.display import display_poses, display_selection
+        from .gui.display import (display_covariances, display_poses,
+                                  display_proposals, display_selection)
         from .gui.server import GuiServer
 
         server = GuiServer(port=args.gui_port)
         correction_mode = {"on": False}
         replay_idx = {"i": 0}
+        proposals = {"list": []}
+        show_cov = {"on": False}
 
         vmap = None
         if args.map:
@@ -219,6 +222,13 @@ def main(argv=None) -> int:
         def publish():
             dl = display_poses(engine.state)
             display_selection(dl, engine.selected_points)
+            if proposals["list"]:
+                display_proposals(dl, proposals["list"])
+            if show_cov["on"]:
+                display_covariances(dl, engine.get_poses(),
+                                    engine.get_covariances(),
+                                    stride=max(len(engine.get_poses()) // 128,
+                                               1))
             if vmap is not None:
                 vmap.to_drawlist(dl)
             server.publish(dl)
@@ -266,6 +276,20 @@ def main(argv=None) -> int:
                     engine.replay_log(input_log[replay_idx["i"]])
                     replay_idx["i"] += 1
                     publish()
+            elif ev.keycode == 0x41:    # 'a': propose / accept suggestion
+                if not proposals["list"]:
+                    proposals["list"] = engine.propose_corrections()
+                    print(f"{len(proposals['list'])} correction proposals")
+                else:
+                    p = proposals["list"][0]
+                    rep = engine.replay_log(p.input)
+                    print(f"proposal ({p.anchor_pose},{p.corrected_pose}) "
+                          f"accepted={rep.accepted} {rep.reason}")
+                    proposals["list"] = []
+                publish()
+            elif ev.keycode == 0x43:    # 'c': toggle covariance ellipses
+                show_cov["on"] = not show_cov["on"]
+                publish()
 
         server.on_mouse_click = on_click
         server.on_keyboard = on_key
@@ -274,7 +298,8 @@ def main(argv=None) -> int:
         server.start()
         publish()
         print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "
-              f"(keys: p=correct u=undo v=save l=replay)")
+              f"(keys: p=correct u=undo v=save l=replay a=propose/accept "
+              f"c=covariances)")
         try:
             while True:
                 time.sleep(0.5)

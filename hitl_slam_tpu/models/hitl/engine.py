@@ -189,6 +189,17 @@ class HitLSLAM:
             "num_active_constraints": int(jnp.sum(st.constraints.active)),
         }
 
+    # -- auto-proposed corrections -------------------------------------------
+
+    def propose_corrections(self, max_proposals: int = 3, **kw):
+        """Loop-closure suggestions from the correlative scan matcher
+        (models/hitl/propose.py); each proposal's .input runs through the
+        ordinary replay_log path when accepted."""
+        from .propose import propose_corrections
+
+        return propose_corrections(self.state, max_proposals=max_proposals,
+                                   **kw)
+
     # -- post-human STF refinement -----------------------------------------
 
     def post_optimize(self, max_iterations: int = 30) -> CycleReport:

@@ -82,9 +82,12 @@ def correlative_match(
     scan_mask: Array,   # [N]
     pose_guess: Array,  # [3] initial (x, y, theta)
     params: ScanMatchParams = ScanMatchParams(),
-) -> tuple[Array, Array]:
-    """-> (pose [3], score): the (theta, dx, dy) in the search window around
-    `pose_guess` maximizing scan/map correlation."""
+) -> tuple[Array, Array, Array]:
+    """-> (pose [3], score, ambiguity): the (theta, dx, dy) in the search
+    window around `pose_guess` maximizing scan/map correlation. `ambiguity`
+    is the ratio of the best score OUTSIDE a 0.3 m translation ball around
+    the winner to the winning score (1.0 = a second equally-good alignment
+    exists, e.g. a wrong-but-parallel wall; near 0 = unambiguous)."""
     p = params
     H = field.shape[0]
     W = (int(2 * p.window / p.resolution) | 1)   # odd translation window
@@ -132,4 +135,13 @@ def correlative_match(
     by = center[1] + (br.astype(dtype) + kc - half_field) * p.resolution
     pose = jnp.stack([bx, by, angles[bt]])
     n_valid = jnp.maximum(jnp.sum(scan_mask.astype(dtype)), 1.0)
-    return pose, flat[best] / n_valid
+
+    # second peak outside a 0.3 m translation ball around the winner (over
+    # all rotations): detects aliasing onto parallel structure
+    r_sup = 0.3 / p.resolution
+    rr = jnp.arange(W, dtype=dtype)
+    far = ((rr[:, None] - br.astype(dtype)) ** 2
+           + (rr[None, :] - bc.astype(dtype)) ** 2) > r_sup * r_sup
+    second = jnp.max(jnp.where(far[None], scores, -jnp.inf))
+    ambiguity = second / jnp.maximum(flat[best], 1e-9)
+    return pose, flat[best] / n_valid, ambiguity
