@@ -214,6 +214,84 @@ def human_jacobians(f: HumanFactors) -> Array:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class RelativePoseFactors:
+    """Chained relative-pose factors — the reference's dormant
+    RelativePoseConstraint (residual_functors.h:944-1035): the problem is
+    parameterized by a BASE pose plus per-step relative (dx, dy, dtheta)
+    triples; absolute poses are their running sums (the reference's
+    DynamicAutoDiff loops :987-996 compose ADDITIVELY, not on SE(2) — kept).
+    Each factor constrains the pair (pose0, pose1) of the summed chain with
+    the same radial/tangential/angular error as PoseConstraint, except the
+    angular residual is the RAW difference (no atan2 wrap, :1014-1021)."""
+
+    pose0: Array      # [K] int32
+    pose1: Array      # [K] int32
+    axis: Array       # [K, 2, 2] principal-axis transform rows
+    radial: Array     # [K] radial translation target
+    rotation: Array   # [K] rotation target
+    inv_sigma: Array  # [K, 3]
+
+
+def chain_poses(base_pose: Array, rels: Array) -> Array:
+    """[3], [P-1, 3] -> [P, 3] absolute poses by prefix sum (the additive
+    composition of residual_functors.h:987-996 as one cumsum)."""
+    steps = jnp.concatenate([base_pose[None], rels], axis=0)
+    return jnp.cumsum(steps, axis=0)
+
+
+def build_relative_pose_factors(
+    poses: Array, pose0: Array, pose1: Array,
+    radial_std: float = ODOM_RADIAL_STD,
+    tangential_std: float = ODOM_TANGENTIAL_STD,
+    angular_std: float = ODOM_ANGULAR_STD,
+) -> RelativePoseFactors:
+    """Factor constants from current absolute poses for arbitrary (pose0,
+    pose1) pairs — the chained-relative analog of build_odometry_factors."""
+    p0, p1 = poses[pose0], poses[pose1]
+    trans = p1[:, :2] - p0[:, :2]
+    norm = jnp.linalg.norm(trans, axis=-1)
+    degenerate = norm < _EPS
+    local = rotate(-p0[:, 2], trans)
+    radial_dir = jnp.where(
+        degenerate[:, None],
+        jnp.stack([jnp.cos(p1[:, 2]), jnp.sin(p1[:, 2])], -1),
+        local / jnp.maximum(norm, _EPS)[:, None])
+    axis = jnp.stack([radial_dir, perp_rows(radial_dir)], axis=-2)
+    inv_sigma = jnp.broadcast_to(
+        jnp.array([1.0 / radial_std, 1.0 / tangential_std,
+                   1.0 / angular_std], poses.dtype), (len(p0), 3))
+    return RelativePoseFactors(
+        pose0=pose0, pose1=pose1, axis=axis,
+        radial=jnp.where(degenerate, 0.0, norm),
+        rotation=p1[:, 2] - p0[:, 2],
+        inv_sigma=inv_sigma,
+    )
+
+
+def perp_rows(v: Array) -> Array:
+    return jnp.stack([-v[..., 1], v[..., 0]], -1)
+
+
+def relative_pose_residuals(
+    f: RelativePoseFactors, base_pose: Array, rels: Array
+) -> Array:
+    """[K, 3] residuals over the relative-pose parameterization. Depends on
+    every rel up to each factor's poses (through the prefix sum) — jax
+    autodiff supplies the chain Jacobian where the reference used
+    DynamicAutoDiffCostFunction."""
+    poses = chain_poses(base_pose, rels)
+    p0, p1 = poses[f.pose0], poses[f.pose1]
+    t = rotate(-p0[:, 2], p1[:, :2] - p0[:, :2])
+    u = jnp.einsum("kij,kj->ki", f.axis, t)
+    r0 = (u[:, 0] - f.radial) * f.inv_sigma[:, 0]
+    r1 = u[:, 1] * f.inv_sigma[:, 1]
+    # raw (unwrapped) angular difference, as in the reference (:1014-1021)
+    r2 = (p1[:, 2] - p0[:, 2] - f.rotation) * f.inv_sigma[:, 2]
+    return jnp.stack([r0, r1, r2], axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class CompactHuman:
     """Per-pose pre-reduction of the human-constraint table.
 

@@ -153,3 +153,39 @@ def test_compact_human_matches_rowwise_assembly(rng):
     np.testing.assert_allclose(np.asarray(ch2.A), np.asarray(ch.A), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ch2.c), np.asarray(ch.c), atol=1e-5)
     np.testing.assert_allclose(float(ch2.k), float(ch.k), rtol=1e-5)
+
+
+def test_relative_pose_constraint_chain(rng):
+    """RelativePoseConstraint port (residual_functors.h:944-1035): additive
+    prefix-sum chain parameterization; residuals vanish at construction and
+    respond to any upstream rel perturbation through the chain."""
+    poses = _rand_poses(rng, 8)
+    pose0 = jnp.asarray([1, 2, 0], jnp.int32)
+    pose1 = jnp.asarray([5, 7, 4], jnp.int32)
+    f = res.build_relative_pose_factors(poses, pose0, pose1)
+
+    # recover the additive-rel parameterization of the same poses
+    base = poses[0]
+    rels = poses[1:] - poses[:-1]
+    r = res.relative_pose_residuals(f, base, rels)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=2e-4)
+
+    # perturbing rel[3] moves every pose >=4: factors (1,5), (2,7), (0,4)
+    # all respond; a factor fully upstream would not
+    rels2 = rels.at[2, 0].add(0.25)   # affects poses >= 3
+    r2 = np.asarray(res.relative_pose_residuals(f, base, rels2))
+    assert np.abs(r2[0]).max() > 1e-3   # (1,5) straddles pose 3
+    assert np.abs(r2[1]).max() > 1e-3   # (2,7) straddles
+    assert np.abs(r2[2]).max() > 1e-3   # (0,4) straddles
+
+    rels3 = rels.at[0, 1].add(0.25)    # affects poses >= 1
+    r3 = np.asarray(res.relative_pose_residuals(f, base, rels3))
+    # both endpoints of (1,5) and (2,7) shift equally -> only frame rotation
+    # of the identical translation; factor (0,4) straddles pose 1 -> responds
+    assert np.abs(r3[2]).max() > 1e-3
+
+    # the chain Jacobian autodiffs (DynamicAutoDiff analog)
+    J = jax.jacfwd(lambda q: res.relative_pose_residuals(f, base, q))(rels)
+    assert np.isfinite(np.asarray(J)).all()
+    # factor 0 = (1,5): independent of rels beyond pose 5
+    assert np.abs(np.asarray(J)[0, :, 5:, :]).max() < 1e-7
