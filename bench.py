@@ -153,6 +153,11 @@ def main():
         t0 = time.perf_counter()
         _noop(_one).block_until_ready()
         rtts.append((time.perf_counter() - t0) * 1e3)
+    # NOTE (measured): a trivial program round-trips in ~0.02 ms even over
+    # the tunnel; the interactive cycle's extra ~25-30 ms over the pipelined
+    # number is per-DISPATCH overhead of the large fused program + result
+    # fetch through the remote relay (CLAUDE.md: 30-80 ms per sync), which a
+    # colocated production host would not pay. Reported separately below.
     tunnel_rtt_ms = float(np.median(rtts))
 
     # pass 1: compile warmup; passes 2..4: steady-state timing (>=12 accepted
@@ -350,12 +355,15 @@ def main():
         enml_rtf = stream_s / (enml_ms / 1e3)
 
         # checkerboard-parallel window solver (same factors, batched windows)
+        ck_chunk = 4 if smoke else 16   # TPU HBM affords wide window batches
         out_ck = checkerboard_localize(est.points, est.normals,
-                                       est.point_mask, est.poses, eopts)
+                                       est.point_mask, est.poses, eopts,
+                                       chunk=ck_chunk)
         _jax.block_until_ready(out_ck)
         t0 = time.perf_counter()
         out_ck = checkerboard_localize(est.points, est.normals,
-                                       est.point_mask, est.poses, eopts)
+                                       est.point_mask, est.poses, eopts,
+                                       chunk=ck_chunk)
         _jax.block_until_ready(out_ck)
         enml_checker_ms = (time.perf_counter() - t0) * 1e3
         enml_checker_rtf = stream_s / (enml_checker_ms / 1e3)
@@ -395,6 +403,8 @@ def main():
             "num_constraints": int(np.asarray(tbl.active).sum()),
             "pipelined_cycle_ms": round(pipelined_ms, 2),
             "device_cycle_ms": round(device_cycle_ms, 2),
+            "interactive_dispatch_overhead_ms": round(
+                max(tpu_ms - device_cycle_ms, 0.0), 2),
             "vs_baseline_device": round(scipy_ms / device_cycle_ms, 2),
             "map_error_vs_gt_m": {
                 "before": round(gt_error(m.poses), 4),
