@@ -66,22 +66,41 @@ def cycle_step(
 
     world = pose_to_world(poses[:, None, :], points)
 
+    from ...core.state import CorrectionType
+
+    # POINT selections are degenerate segments [p,p,q,q]; CORNER drags are
+    # anchored at a feature vertex — neither gets the segment refit
+    is_point = ctype == int(CorrectionType.POINT)
+    is_corner = ctype == int(CorrectionType.CORNER)
+
     # --- verification (HitLSLAM::verifyUserInput) — Pallas sweep ---
     _, min_d2 = em_scan(world, point_mask, sel_raw)
     degenerate = jnp.all(sel_raw[0] == sel_raw[1]) | jnp.all(
         sel_raw[2] == sel_raw[3]
     )
-    verified = jnp.all(min_d2 < em_input.VERIFY_THRESHOLD**2) & ~degenerate
+    verified = jnp.all(min_d2 < em_input.VERIFY_THRESHOLD**2) & (
+        ~degenerate | is_point)
 
     # --- EM: refit both sketched segments, count inliers (Pallas sweep) ---
     seg_a = em_input.endpoint_adjust(world, point_mask, sel_raw[0:2])
     seg_b = em_input.endpoint_adjust(world, point_mask, sel_raw[2:4])
     refit = jnp.concatenate([seg_a, seg_b], axis=0)
+    refit = jnp.where(is_point | is_corner, sel_raw, refit)
     counts, _ = em_scan(world, point_mask, refit)
     c1, c2 = counts[:, 0], counts[:, 1]
+    # a point's inlier pill is a disc; use the wider verify radius so
+    # observation sets don't starve on sparse scans
+    counts_pt, _ = em_scan(world, point_mask, refit,
+                           inlier_threshold=em_input.VERIFY_THRESHOLD)
+    c1 = jnp.where(is_point, counts_pt[:, 0], c1)
+    c2 = jnp.where(is_point, counts_pt[:, 1], c2)
 
     # --- ordering / filtering on device ---
-    o = order_on_device(c1, c2, refit)
+    from .ordering import MIN_POSE_INLIERS
+
+    o = order_on_device(c1, c2, refit,
+                        min_inliers=jnp.where(is_point, 0,
+                                              MIN_POSE_INLIERS))
     valid = verified & o.valid
 
     # --- explicit correction + constraint targets ---

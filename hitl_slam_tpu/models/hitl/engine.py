@@ -99,10 +99,12 @@ class HitLSLAM:
     # -- correction input state machine ------------------------------------
 
     def is_valid_correction_type(self, t: CorrectionType) -> bool:
+        # POINT and CORNER are supported here (declared-but-unsupported in
+        # the reference, human_constraints.h:8-16)
         return t in (
             CorrectionType.POINT, CorrectionType.LINE_SEGMENT,
-            CorrectionType.COLINEAR, CorrectionType.PERPENDICULAR,
-            CorrectionType.PARALLEL,
+            CorrectionType.CORNER, CorrectionType.COLINEAR,
+            CorrectionType.PERPENDICULAR, CorrectionType.PARALLEL,
         )
 
     def add_correction_points(self, modifiers: int, mouse_down, mouse_up):
@@ -258,6 +260,9 @@ class HitLSLAM:
                record_history: bool) -> CycleReport:
         st = self.state
         timer = FunctionTimer("cycle")
+        if ctype == CorrectionType.POINT and sel.shape[0] == 2:
+            # a point pair enters the fused cycle as two degenerate segments
+            sel = np.stack([sel[0], sel[0], sel[1], sel[1]])
         if sel.shape[0] != 4:
             return CycleReport(False, f"unsupported selection shape {sel.shape}")
 

@@ -58,16 +58,33 @@ def correction_transform(ctype: Array, sel: Array) -> tuple[Array, Array, Array]
     """-> (theta, center, target_center): corrected poses move as
     p' = target_center + R(theta) (p - center).
 
+    point:        translate the clicked point onto the anchor point
+                  (no rotation) — sel rows are [p, p, q, q].
     line-to-line: rotate A onto B about cmA, then translate cmA -> cmB.
+    corner:       rotate A onto B about the drag-START vertex (the corner),
+                  then translate vertex -> vertex — sel rows are
+                  [corner_c, along-wall_c, corner_a, along-wall_a].
     colinear:     same rotation; cmA translates to its projection on line B.
     perpendicular: rotate so A is perpendicular to B, about cmA (no transl).
     parallel:      rotate A parallel to B, about cmA (no translation).
+
+    POINT and CORNER are declared-but-unsupported in the reference
+    (human_constraints.h:8-16, README key map); the semantics here are the
+    natural completion of the family: corner = colocation anchored at the
+    feature vertex instead of the segment midpoint; point = pure
+    translation (a point pair constrains no rotation).
     """
     cmA, cmB, A, B = _seg_dirs(sel)
     theta_ab = _signed_angle(A, B)
 
+    def point(_):
+        return jnp.zeros_like(theta_ab), sel[0], sel[2]
+
     def line_to_line(_):
         return theta_ab, cmA, cmB
+
+    def corner(_):
+        return theta_ab, sel[0], sel[2]
 
     def colinear(_):
         alpha = jnp.dot(cmA - cmB, B)
@@ -87,11 +104,11 @@ def correction_transform(ctype: Array, sel: Array) -> tuple[Array, Array, Array]
     def parallel(_):
         return theta_ab, cmA, cmA
 
-    branch = jnp.clip(ctype.astype(jnp.int32) - 2, 0, 4)
-    # map ctype {2: l2l, 3: unused, 4: colinear, 5: perp, 6: parallel}
+    branch = jnp.clip(ctype.astype(jnp.int32) - 1, 0, 5)
+    # ctype {1: point, 2: l2l, 3: corner, 4: colinear, 5: perp, 6: parallel}
     return lax.switch(
         branch,
-        [line_to_line, line_to_line, colinear, perpendicular, parallel],
+        [point, line_to_line, corner, colinear, perpendicular, parallel],
         None,
     )
 

@@ -60,11 +60,15 @@ def _top_indices(mask: Array, idx: Array, k: int, P: int) -> Array:
     return jnp.where(picked < P, picked, -1).astype(jnp.int32)
 
 
-def order_on_device(c1: Array, c2: Array, sel: Array) -> DeviceOrdering:
+def order_on_device(c1: Array, c2: Array, sel: Array,
+                    min_inliers: Array | int = MIN_POSE_INLIERS
+                    ) -> DeviceOrdering:
+    """min_inliers may be a traced scalar: POINT corrections use a 1-inlier
+    gate (a single observed point cannot produce >5 pill inliers)."""
     P = c1.shape[0]
     idx = jnp.arange(P)
-    first = c1 > MIN_POSE_INLIERS
-    second = c2 > MIN_POSE_INLIERS
+    first = c1 > min_inliers
+    second = c2 > min_inliers
     overlap = first & second
     n_f = jnp.sum(first)
     n_s = jnp.sum(second)

@@ -179,7 +179,12 @@ def build_human_factors(poses: Array, table: ConstraintTable) -> HumanFactors:
     ones = jnp.ones_like(cpd)
 
     t = table.ctype
-    is_coloc = t == int(CorrectionType.LINE_SEGMENT)
+    # CORNER (declared-unsupported in the reference) constrains the full
+    # pose like colocation; POINT constrains position only (a point pair
+    # fixes no rotation).
+    is_coloc = (t == int(CorrectionType.LINE_SEGMENT)) | (
+        t == int(CorrectionType.CORNER))
+    is_point = t == int(CorrectionType.POINT)
     is_colin = t == int(CorrectionType.COLINEAR)
     is_angle_only = (t == int(CorrectionType.PERPENDICULAR)) | (
         t == int(CorrectionType.PARALLEL)
@@ -190,12 +195,15 @@ def build_human_factors(poses: Array, table: ConstraintTable) -> HumanFactors:
                           jnp.stack(r2, -1)], axis=-2)
 
     M_coloc = rows((ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, ones))
+    M_point = rows((ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, zeros))
     M_colin = rows((cpd, spd, zeros), (zeros, zeros, ones), (zeros, zeros, zeros))
     M_angle = rows((zeros, zeros, ones), (zeros, zeros, zeros), (zeros, zeros, zeros))
 
     M = jnp.where(is_coloc[:, None, None], M_coloc,
-                  jnp.where(is_colin[:, None, None], M_colin,
-                            jnp.where(is_angle_only[:, None, None], M_angle, 0.0)))
+                  jnp.where(is_point[:, None, None], M_point,
+                            jnp.where(is_colin[:, None, None], M_colin,
+                                      jnp.where(is_angle_only[:, None, None],
+                                                M_angle, 0.0))))
     M = M * table.active[:, None, None]
     return HumanFactors(pose_idx=table.constrained, M=M, target=target,
                         active=table.active)

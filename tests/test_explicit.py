@@ -115,3 +115,88 @@ def test_constraint_deltas_roundtrip(rng):
             ang = p[a, 2] + float(dth[ai, ci])
             assert np.isclose(np.cos(ang), np.cos(p[c, 2]), atol=1e-5)
             assert np.isclose(np.sin(ang), np.sin(p[c, 2]), atol=1e-5)
+
+
+def test_point_correction_transform():
+    """POINT (unsupported in the reference): pure translation p -> q."""
+    sel = _sel([1, 2], [1, 2], [4, -1], [4, -1])
+    theta, center, target = correction_transform(
+        jnp.asarray(int(CorrectionType.POINT), jnp.int32), sel)
+    assert float(theta) == 0.0
+    np.testing.assert_allclose(np.asarray(center), [1, 2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(target), [4, -1], atol=1e-6)
+
+
+def test_corner_correction_transform():
+    """CORNER: rotate A onto B about the drag-start vertex, vertex -> vertex
+    (colocation anchored at the feature corner, not the midpoint)."""
+    # corrected drag: vertex (0,0) along +x; anchor: vertex (5,5) along +y
+    sel = _sel([0, 0], [2, 0], [5, 5], [5, 7])
+    theta, center, target = correction_transform(
+        jnp.asarray(int(CorrectionType.CORNER), jnp.int32), sel)
+    assert np.isclose(float(theta), np.pi / 2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(center), [0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(target), [5, 5], atol=1e-6)
+
+
+def test_point_correction_end_to_end():
+    """A POINT correction runs through the full fused cycle: colocate one
+    drifted lap-2 observation with its lap-1 twin; xy constrained, theta
+    free (M = diag(1,1,0))."""
+    from hitl_slam_tpu.io.figure8 import generate_figure8, wall_points_drifted
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+    from hitl_slam_tpu.core.state import SingleInput
+
+    m = generate_figure8(num_poses=128, num_rays=120, seed=7,
+                         drift_theta_bias=8e-4, num_laps=2)
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             odometry=m.odometry, constraint_capacity=4096)
+
+    # one observed bottom-wall point from each lap (same GT feature area)
+    late = wall_points_drifted(m, range(64, 128), 1, 0.0, span=(6.0, 10.0))
+    early = wall_points_drifted(m, range(0, 64), 1, 0.0, span=(6.0, 10.0))
+    pc = late[np.argmin(np.abs(late[:, 0] - 8.0))]
+    pa = early[np.argmin(np.abs(early[:, 0] - pc[0]))]
+    sel = np.stack([pc, pa]).astype(np.float32)
+
+    rep = eng.replay_log(SingleInput(CorrectionType.POINT, 0, sel))
+    assert rep.accepted, rep.reason
+    assert rep.num_new_constraints > 0
+    assert np.isfinite(rep.final_cost)
+    # the table carries POINT-typed rows
+    t = eng.state.constraints
+    live = np.asarray(t.active)
+    assert (np.asarray(t.ctype)[live] == int(CorrectionType.POINT)).any()
+
+
+def test_corner_correction_end_to_end():
+    """A CORNER correction (vertex-anchored colocation) through the cycle."""
+    from hitl_slam_tpu.io.figure8 import generate_figure8, wall_points_drifted
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+    from hitl_slam_tpu.core.state import SingleInput
+
+    m = generate_figure8(num_poses=128, num_rays=120, seed=7,
+                         drift_theta_bias=8e-4, num_laps=2)
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             odometry=m.odometry, constraint_capacity=4096)
+
+    # drags along the bottom wall starting near x=5 toward x=9, one per lap
+    late = wall_points_drifted(m, range(64, 128), 1, 0.0, span=(5.0, 9.0))
+    early = wall_points_drifted(m, range(0, 64), 1, 0.0, span=(5.0, 9.0))
+
+    def drag(pts):
+        lo = pts[np.argmin(pts[:, 0])]
+        hi = pts[np.argmax(pts[:, 0])]
+        return lo, hi
+
+    c0, c1 = drag(late)
+    a0, a1 = drag(early)
+    sel = np.stack([c0, c1, a0, a1]).astype(np.float32)
+    rep = eng.replay_log(SingleInput(CorrectionType.CORNER, 0, sel))
+    assert rep.accepted, rep.reason
+    assert np.isfinite(rep.final_cost)
+    t = eng.state.constraints
+    live = np.asarray(t.active)
+    assert (np.asarray(t.ctype)[live] == int(CorrectionType.CORNER)).any()
