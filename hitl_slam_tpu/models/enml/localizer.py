@@ -282,6 +282,28 @@ def _window_gn(
 
 
 @partial(jax.jit, static_argnames=("options",))
+def single_window_localize(
+    points: Array,        # [W, N, 2] robot frame
+    normals: Array,       # [W, N, 2]
+    point_mask: Array,    # [W, N]
+    poses: Array,         # [W, 3] current estimates
+    options: EnmlOptions = EnmlOptions(),
+) -> Array:
+    """One window GN solve over exactly these W poses (first pose fixed) —
+    the online-mode re-localization step (SensorUpdate semantics,
+    vector_mapping.cpp:2913-2933): O(1) work per new node instead of
+    re-sweeping the trailing window."""
+    o = options
+    W = poses.shape[0]
+    axis, d, rot, isig = _odometry_targets(poses, o)
+    new_poses, _H = _window_gn(
+        poses, points, normals, point_mask, axis, d, rot, isig,
+        jnp.ones(W - 1, poses.dtype), o,
+    )
+    return new_poses.at[:, 2].set(angle_mod(new_poses[:, 2]))
+
+
+@partial(jax.jit, static_argnames=("options",))
 def batch_localize(
     points: Array,        # [P, N, 2] robot frame
     normals: Array,       # [P, N, 2]

@@ -148,13 +148,15 @@ class OnlineLocalizer:
             normals = self.normals[lo:]
 
         from ...core.state import make_map_state
-        from .localizer import batch_localize
+        from .localizer import single_window_localize
 
         st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
                             clouds, normals, max_points=384)
-        new_poses, _ = batch_localize(st.points, st.normals, st.point_mask,
-                                      st.poses, self.opts)
-        new_poses = np.asarray(new_poses)
+        # ONE window GN over the trailing W nodes (the old implementation
+        # re-ran the full W-step batch sweep per node — O(W) window solves
+        # for one new observation)
+        new_poses = np.asarray(single_window_localize(
+            st.points, st.normals, st.point_mask, st.poses, self.opts))
         with self._lock:
             for k in range(len(new_poses)):
                 self.poses[lo + k] = new_poses[k]
