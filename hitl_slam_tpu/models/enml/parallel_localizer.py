@@ -103,7 +103,8 @@ def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
 
 
 @partial(jax.jit,
-         static_argnames=("options", "n_passes", "chunk", "force_grid"))
+         static_argnames=("options", "n_passes", "chunk", "force_grid",
+                          "mesh"))
 def checkerboard_localize(
     points: Array,         # [P, N, 2] robot frame
     normals: Array,        # [P, N, 2]
@@ -113,6 +114,9 @@ def checkerboard_localize(
     n_passes: int = 2,
     chunk: int = 8,        # windows solved per vmap chunk (memory bound)
     force_grid: bool = False,  # use the grid matcher regardless of size
+    mesh=None,             # jax.sharding.Mesh: shard the window batch over
+                           # its FIRST axis (EnML's data-parallel axis —
+                           # windows of one parity are independent)
 ) -> tuple[Array, Array]:
     """Full-trajectory batched sweep. Returns (poses [P,3], covs [P,3,3])."""
     o = options
@@ -164,6 +168,22 @@ def checkerboard_localize(
 
     def solve_parity_chunked(starts, poses):
         B = starts.shape[0]
+        if mesh is not None:
+            # multi-chip: one vmap over ALL windows, batch axis sharded over
+            # the mesh's first axis — GSPMD runs each device's window slice
+            # locally (poses/points replicate; they are small)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            nd = int(mesh.shape[mesh.axis_names[0]])
+            Bpad = -(-B // nd) * nd
+            starts_p = jnp.concatenate(
+                [starts, jnp.full((Bpad - B,), P + W, starts.dtype)])
+            starts_p = jax.lax.with_sharding_constraint(
+                starts_p, NamedSharding(mesh, PartitionSpec(
+                    mesh.axis_names[0])))
+            out = jax.vmap(lambda s: solve_one(s, poses))(starts_p)
+            new_poses, H, idx, active = out
+            return (new_poses[:B], H[:B], idx[:B], active[:B])
         Bpad = -(-B // chunk) * chunk
         starts_p = jnp.concatenate(
             [starts, jnp.full((Bpad - B,), P + W, starts.dtype)])

@@ -132,3 +132,33 @@ def test_gspmd_batched_repair_matches_single_device(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_cost), np.asarray(ref_cost),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_checkerboard_enml_matches_single_device():
+    """EnML's data-parallel axis: checkerboard windows sharded over an
+    8-device mesh produce the same poses as the single-device solve."""
+    import numpy as np
+
+    from hitl_slam_tpu.core.state import make_map_state
+    from hitl_slam_tpu.io.figure8 import generate_raw_stream
+    from hitl_slam_tpu.models.enml.driver import EpisodeOptions, build_episodes
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions
+    from hitl_slam_tpu.models.enml.parallel_localizer import (
+        checkerboard_localize)
+    from hitl_slam_tpu.parallel.mesh import make_mesh
+
+    scans, angles, rel, gt, walls = generate_raw_stream(
+        num_steps=64, num_rays=90, seed=2)
+    poses, pcs, ncs, _ = build_episodes(
+        scans, angles, rel, EpisodeOptions(clip_low=10, clip_high=10))
+    st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
+                        pcs, ncs)
+    o = EnmlOptions(max_history=6, gn_iterations=6, match_rounds=1)
+    p1, c1 = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                   st.poses, o, n_passes=1)
+    mesh = make_mesh(n_replica=8, n_pose=1)
+    p8, c8 = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                   st.poses, o, n_passes=1, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1), atol=1e-4)
