@@ -68,3 +68,31 @@ def test_random_corrections_never_corrupt_state():
         else:
             np.testing.assert_array_equal(poses, before)
     assert n_accepted >= 1
+
+
+def test_display_proposals_and_covariances():
+    from hitl_slam_tpu.core.state import CorrectionType, SingleInput
+    from hitl_slam_tpu.gui.display import (display_covariances,
+                                           display_proposals)
+    from hitl_slam_tpu.gui.drawlist import DrawList
+    from hitl_slam_tpu.models.hitl.propose import Proposal
+
+    dl = DrawList()
+    sel = np.array([[0, 0], [1, 0], [5, 5], [6, 5]], np.float32)
+    p = Proposal(input=SingleInput(CorrectionType.COLINEAR, 0, sel),
+                 anchor_pose=3, corrected_pose=9, score=0.7,
+                 drift=np.array([0.1, 0.0, 0.0]))
+    display_proposals(dl, [p])
+    assert len(dl.lines_p1) == 2 and len(dl.circles) == 2
+    assert len(dl.text) == 1 and "score" in dl.text[0][3]
+
+    dl2 = DrawList()
+    poses = np.zeros((4, 3), np.float32)
+    covs = np.tile(np.diag([0.04, 0.01, 0.001]).astype(np.float32),
+                   (4, 1, 1))
+    display_covariances(dl2, poses, covs, segments=12)
+    # 4 ellipses x 12 segments
+    assert len(dl2.lines_p1) == 4 * 12
+    # ellipse extent ~ 3 sigma of the larger axis (0.2 * 3)
+    pts = np.asarray(dl2.lines_p1)
+    assert 0.45 < np.abs(pts[:, 0]).max() < 0.75
