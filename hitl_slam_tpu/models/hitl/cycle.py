@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ...core.state import ConstraintTable
 from ...ops.geometry import angle_mod, pose_to_world
@@ -86,14 +87,16 @@ def cycle_step(
     seg_b = em_input.endpoint_adjust(world, point_mask, sel_raw[2:4])
     refit = jnp.concatenate([seg_a, seg_b], axis=0)
     refit = jnp.where(is_point | is_corner, sel_raw, refit)
-    counts, _ = em_scan(world, point_mask, refit)
+    # POINT selections count inliers in the wider verify-radius disc (a
+    # point pill starves the observation sets on sparse scans); lax.cond
+    # keeps the extra sweep off the hot path for segment corrections
+    counts, _ = lax.cond(
+        is_point,
+        lambda: em_scan(world, point_mask, refit,
+                        inlier_threshold=em_input.VERIFY_THRESHOLD),
+        lambda: em_scan(world, point_mask, refit),
+    )
     c1, c2 = counts[:, 0], counts[:, 1]
-    # a point's inlier pill is a disc; use the wider verify radius so
-    # observation sets don't starve on sparse scans
-    counts_pt, _ = em_scan(world, point_mask, refit,
-                           inlier_threshold=em_input.VERIFY_THRESHOLD)
-    c1 = jnp.where(is_point, counts_pt[:, 0], c1)
-    c2 = jnp.where(is_point, counts_pt[:, 1], c2)
 
     # --- ordering / filtering on device ---
     from .ordering import MIN_POSE_INLIERS
