@@ -243,15 +243,24 @@ def _window_gn(
             g = g.at[:-1].add((J1T @ r_o[..., None])[..., 0])
             g = g.at[1:].add((J2T @ r_o[..., None])[..., 0])
 
+            # STF factor reduction as one-hot MXU contractions: M point
+            # factors collide on W poses, and TPU scatter-add serializes on
+            # colliding indices (the measured pathology from the joint
+            # solver); two [M,W] one-hots turn the whole [W,W,3,3] assembly
+            # into einsums (M*W^2*9 flops — trivial on the MXU)
             j0T = jnp.swapaxes(j0, -1, -2)
             j1T = jnp.swapaxes(j1, -1, -2)
-            H = scat(H, s_pose, s_pose, j0T @ j0)
-            H = scat(H, t_pose, t_pose, j1T @ j1)
-            H = scat(H, s_pose, t_pose, j0T @ j1)
-            H = scat(H, t_pose, s_pose, j1T @ j0)
+            wi = jnp.arange(W)
+            oh_s = (s_pose[:, None] == wi[None, :]).astype(poses.dtype)
+            oh_t = (t_pose[:, None] == wi[None, :]).astype(poses.dtype)
+            Hb = (jnp.einsum("mi,mj,mab->iajb", oh_s, oh_s, j0T @ j0)
+                  + jnp.einsum("mi,mj,mab->iajb", oh_t, oh_t, j1T @ j1)
+                  + jnp.einsum("mi,mj,mab->iajb", oh_s, oh_t, j0T @ j1)
+                  + jnp.einsum("mi,mj,mab->iajb", oh_t, oh_s, j1T @ j0))
+            H = H + Hb.reshape(n3, n3)
             rr = jnp.stack([r0, r1], -1)
-            g = g.at[s_pose].add((j0T @ rr[..., None])[..., 0])
-            g = g.at[t_pose].add((j1T @ rr[..., None])[..., 0])
+            g = g + jnp.einsum("mi,ma->ia", oh_s, (j0T @ rr[..., None])[..., 0])
+            g = g + jnp.einsum("mi,ma->ia", oh_t, (j1T @ rr[..., None])[..., 0])
 
             # pin the window-first pose + any caller-pinned (inactive) poses:
             # zero their rows/cols, identity diagonal, zero gradient
