@@ -148,3 +148,44 @@ def test_unverified_input_rejected(session):
     report = session.replay_log(bogus)
     assert not report.accepted
     assert "not verified" in report.reason
+
+
+def test_undo_after_order_rejected_is_pose_noop(drifted_map):
+    """The reference snapshots prev_poses_ BEFORE the ordering check
+    (HitLSLAM.cpp:390), so undo after a verified-but-order-rejected input
+    reverts nothing and merely marks the rejected entry undone (ADVICE r1)."""
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    m = drifted_map
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             odometry=m.odometry, constraint_capacity=512)
+    mods = int(CorrectionType.COLINEAR)
+
+    # a VERIFIED but order-REJECTED input: both selections on the same wall
+    # section -> complete observation overlap (EMinput.cpp:377-384)
+    base = _make_correction(m, CorrectionType.COLINEAR)
+    same = base.points.copy()
+    same[2:] = same[:2] + np.float32(0.01)
+    poses_before = eng.get_poses()
+    eng.add_correction_points(mods, same[0], same[1])
+    eng.add_correction_points(mods, same[2], same[3])
+    rep = eng.run()
+    assert not rep.accepted
+    assert "overlap" in rep.reason, rep.reason
+    assert len(eng.get_input_history()) == 1   # recorded despite rejection
+
+    # undo is a pose NO-OP (snapshot taken at the rejected input, matching
+    # the reference's prev_poses_ snapshot before the ordering check)
+    assert eng.undo()
+    np.testing.assert_allclose(eng.get_poses(), poses_before, atol=1e-6)
+    assert eng.get_input_history()[-1].undone == 1
+
+    # the session still works afterwards: accepted correction, real undo
+    good = _make_correction(m, CorrectionType.COLINEAR)
+    eng.add_correction_points(mods, good.points[0], good.points[1])
+    eng.add_correction_points(mods, good.points[2], good.points[3])
+    assert eng.run().accepted
+    assert not np.allclose(eng.get_poses(), poses_before)
+    assert eng.undo()
+    np.testing.assert_allclose(eng.get_poses(), poses_before, atol=1e-6)
