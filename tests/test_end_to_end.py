@@ -189,3 +189,21 @@ def test_undo_after_order_rejected_is_pose_noop(drifted_map):
     assert not np.allclose(eng.get_poses(), poses_before)
     assert eng.undo()
     np.testing.assert_allclose(eng.get_poses(), poses_before, atol=1e-6)
+
+
+def test_dropped_rows_reported_on_full_table(drifted_map):
+    """A too-small constraint table drops pair rows into the dump slot; the
+    cycle report must surface the count (r1 weak item: silent truncation)."""
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    m = drifted_map
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             odometry=m.odometry, constraint_capacity=32)
+    rep = eng.replay_log(_make_correction(m, CorrectionType.COLINEAR))
+    assert rep.accepted
+    assert rep.dropped_rows > 0
+    # live rows never exceed capacity-1 (dump slot stays dead)
+    assert eng.num_constraints == 31
+    t = eng.state.constraints
+    assert not bool(np.asarray(t.active)[-1])
