@@ -38,6 +38,10 @@ def build_parser():
                    help="run N noisy trials and save per-trial poses")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-history", type=int, default=10)
+    p.add_argument("--config", default=None,
+                   help="TOML/JSON config; the [NonMarkovLocalization] table "
+                        "uses the reference's parameter names "
+                        "(config/non_markov_localization.cfg)")
     p.add_argument("--parallel-windows", action="store_true",
                    help="checkerboard-parallel window solver (batched "
                         "red/black windows instead of the sequential sweep)")
@@ -87,6 +91,20 @@ def main(argv=None) -> int:
     scans, angles, rel = _load_stream(args)
     print(f"stream: {len(scans)} scans x {len(angles)} beams")
     opts = EnmlOptions(max_history=args.max_history)
+    if args.config:
+        import dataclasses
+
+        from .utils.config import load_config
+
+        cfg = load_config(args.config)
+        table = cfg.get("NonMarkovLocalization", cfg)
+        fields = {f.name for f in dataclasses.fields(EnmlOptions)}
+        overrides = {k: v for k, v in table.items() if k in fields}
+        opts = dataclasses.replace(opts, **overrides)
+        unknown = sorted(set(table) - fields)
+        if unknown:
+            print(f"config: ignoring unknown keys {unknown}")
+        print(f"config: {overrides}")
 
     def run_once(rel_odom, tag=""):
         t0 = time.perf_counter()
