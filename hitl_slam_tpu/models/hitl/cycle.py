@@ -82,10 +82,11 @@ def cycle_step(
     verified = jnp.all(min_d2 < em_input.VERIFY_THRESHOLD**2) & (
         ~degenerate | is_point)
 
-    # --- EM: refit both sketched segments, count inliers (Pallas sweep) ---
-    seg_a = em_input.endpoint_adjust(world, point_mask, sel_raw[0:2])
-    seg_b = em_input.endpoint_adjust(world, point_mask, sel_raw[2:4])
-    refit = jnp.concatenate([seg_a, seg_b], axis=0)
+    # --- EM: refit both sketched segments in ONE batched while_loop, count
+    # inliers (Pallas sweep) ---
+    segs = em_input.endpoint_adjust_batch(
+        world, point_mask, jnp.stack([sel_raw[0:2], sel_raw[2:4]]))
+    refit = segs.reshape(4, 2)
     refit = jnp.where(is_point | is_corner, sel_raw, refit)
     # POINT selections count inliers in the wider verify-radius disc (a
     # point pill starves the observation sets on sparse scans); lax.cond
