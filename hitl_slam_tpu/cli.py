@@ -101,7 +101,6 @@ def main(argv=None) -> int:
         print("ERROR: -P/--pose-graph is required", file=sys.stderr)
         return 2
 
-    from .core.state import CorrectionType
     from .io import logs, stfs
     from .models.hitl.engine import HitLSLAM
     from .solver.lm import LMConfig

@@ -22,8 +22,7 @@ Shift+Alt=5, Ctrl+Shift=6.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field, replace
-from typing import Any
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

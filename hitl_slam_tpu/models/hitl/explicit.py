@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ...core.state import CorrectionType
 from ...ops.geometry import angle_mod, rotate, scalar_cross
 
 Array = jax.Array

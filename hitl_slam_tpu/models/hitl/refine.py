@@ -11,7 +11,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 
 from ...core.state import ConstraintTable
 from ...ops import correspond as C

@@ -22,7 +22,6 @@ assembly, same BCR) — verified by tests on a virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
