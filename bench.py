@@ -374,6 +374,47 @@ def main():
     except Exception as e:
         import sys; print(f'[bench] enml config skipped: {e}', file=sys.stderr)
 
+    # ---- config-scale EnML (max_history=80, grid-matcher windows) ----
+    enml_w80_ms = -1.0
+    try:
+        if not extras_ok or smoke:
+            raise TimeoutError('budget')
+        w80 = EnmlOptions(max_history=80)
+        out80 = checkerboard_localize(est.points, est.normals,
+                                      est.point_mask, est.poses, w80, chunk=2)
+        _jax.block_until_ready(out80)
+        t0 = time.perf_counter()
+        out80 = checkerboard_localize(est.points, est.normals,
+                                      est.point_mask, est.poses, w80, chunk=2)
+        _jax.block_until_ready(out80)
+        enml_w80_ms = (time.perf_counter() - t0) * 1e3
+    except Exception as e:
+        import sys; print(f'[bench] enml W=80 skipped: {e}', file=sys.stderr)
+
+    # ---- post-human STF refinement (the reference's dormant stage, live) --
+    post_opt_ms = post_opt_matches = -1
+    try:
+        if not extras_ok:
+            raise TimeoutError('budget')
+        from hitl_slam_tpu.models.hitl.refine import post_human_refine
+        from hitl_slam_tpu.solver.lm import LMConfig as _LMC
+
+        stp = eng.state
+        cfg_refine = _LMC(max_iterations=10)
+        outr = post_human_refine(stp.points, stp.normals, stp.point_mask,
+                                 stp.poses, stp.constraints,
+                                 config=cfg_refine)
+        _jax.block_until_ready(outr.poses)
+        t0 = time.perf_counter()
+        outr = post_human_refine(stp.points, stp.normals, stp.point_mask,
+                                 stp.poses, stp.constraints,
+                                 config=cfg_refine)
+        _jax.block_until_ready(outr.poses)
+        post_opt_ms = (time.perf_counter() - t0) * 1e3
+        post_opt_matches = int(np.asarray(outr.num_matches))
+    except Exception as e:
+        import sys; print(f'[bench] post-optimize skipped: {e}', file=sys.stderr)
+
     last = accepted[-1]
     # The interactive number (value) is honest wall-clock per correction,
     # INCLUDING the measured per-call host<->device tunnel overhead; the
@@ -419,6 +460,9 @@ def main():
             "enml_nodes": enml_nodes,
             "enml_realtime_factor": round(enml_rtf, 1),
             "enml_checkerboard_realtime_factor": round(enml_checker_rtf, 1),
+            "enml_w80_checkerboard_ms": round(enml_w80_ms, 2),
+            "post_optimize_stf_refine_ms": round(post_opt_ms, 2),
+            "post_optimize_stf_matches": post_opt_matches,
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(
