@@ -264,9 +264,12 @@ def checkerboard_localize(
 
     covs, idxs, actives = jax.tree_util.tree_map(
         lambda a: a.reshape((-1,) + a.shape[2:]),
-        lax.map(run_chunk, starts_p.reshape(-1, chunk)))
-    covs, idxs, actives = covs[:B0 * W].reshape(-1, 3, 3), \
-        idxs[:B0 * W].reshape(-1), actives[:B0 * W].reshape(-1)
+        lax.map(run_chunk, starts_p.reshape(-1, chunk)))   # [Bpad, W, ...]
+    # padding windows carry active=False throughout, so their rows land in
+    # the dump slot below — no explicit trimming needed
+    covs = covs.reshape(-1, 3, 3)
+    idxs = idxs.reshape(-1)
+    actives = actives.reshape(-1)
     tgt = jnp.where(actives, idxs, P)
     covariances = jnp.zeros((P + 1, 3, 3), dtype).at[tgt].set(covs)[:P]
     covariances = covariances.at[0].set(jnp.eye(3, dtype=dtype) * 1e-6)
