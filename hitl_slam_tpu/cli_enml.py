@@ -61,9 +61,12 @@ def _load_stream(args):
     if args.bag.endswith(".bag"):
         from .io.rosbag import bag_to_stream
 
-        scans, angles, rel, set_loc = bag_to_stream(
-            args.bag, max_laser_msgs=args.max_laser_poses,
-            time_skip=args.time_skip)
+        try:
+            scans, angles, rel, set_loc = bag_to_stream(
+                args.bag, max_laser_msgs=args.max_laser_poses,
+                time_skip=args.time_skip)
+        except (ValueError, OSError) as e:
+            raise SystemExit(f"ERROR: {e}")
         if set_loc is not None:
             # anchor the trajectory in the map frame: fold the set_location
             # pose into the first relative-odometry row (the reference sets
@@ -73,8 +76,13 @@ def _load_stream(args):
             rel = rel.copy()
             rel[0] = [set_loc[0], set_loc[1], set_loc[2]]
         return list(scans), angles, rel
-    data = np.load(args.bag)
-    return list(data["scans"]), data["angles"], data["rel_odometry"]
+    try:
+        data = np.load(args.bag)
+        return list(data["scans"]), data["angles"], data["rel_odometry"]
+    except Exception as e:
+        raise SystemExit(
+            f"ERROR: {args.bag!r} is neither a .bag file nor an .npz "
+            f"stream archive with scans/angles/rel_odometry ({e})")
 
 
 def main(argv=None) -> int:

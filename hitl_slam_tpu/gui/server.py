@@ -40,10 +40,16 @@ class GuiServer:
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
         self._stop = None
+        # latched last frame, replayed to late-joining clients — the analog
+        # of the reference's latched queue-size-1 publisher
+        # (HitLSLAM_main.cpp:986-988)
+        self._last_frame: str | None = None
 
     async def _handler(self, ws):
         self.clients.add(ws)
         try:
+            if self._last_frame is not None:
+                await ws.send(self._last_frame)
             async for msg in ws:
                 ev = parse_event(msg)
                 if isinstance(ev, MouseClickEvent) and self.on_mouse_click:
@@ -89,9 +95,10 @@ class GuiServer:
 
     def publish(self, drawlist: DrawList):
         """Broadcast a draw-list frame to all connected viewers."""
+        frame = drawlist.to_json()
+        self._last_frame = frame
         if not self.loop:
             return
-        frame = drawlist.to_json()
 
         async def send():
             dead = []

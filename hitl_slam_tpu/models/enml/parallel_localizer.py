@@ -96,7 +96,7 @@ def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
         m = grid_match(pw, nw, flat_mask.reshape(W, N),
                        threshold=o.point_match_threshold,
                        min_cos=math.cos(o.max_stf_angle_error),
-                       grid_hw=256)
+                       bucket=64, max_cells=W * N // 2)
         return m.target, m.valid
 
     return match

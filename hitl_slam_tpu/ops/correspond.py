@@ -7,12 +7,21 @@ BuildKDTrees :514-537) and the OMP all-pairs FindSTFCorrespondences
 nearest neighbor within `point_match_threshold` whose normal agrees within
 `max_stf_angle_error`.
 
-Instead of P trees and P^2*N pointer-chasing queries, all points go into ONE
-world-frame uniform grid with cell size = match threshold; each point scans
-the 3x3 neighborhood of its cell (sort by cell id + binary search + fixed
-candidate window — pure gathers, no data-dependent shapes), with same-pose
-matches excluded and the normal gate applied in the same pass. O(M * 9W)
-fully-vectorized work for M points total.
+Instead of P trees and P^2*N pointer-chasing queries, all points are binned
+ONCE into a compact table of occupied grid cells (cell size = match
+threshold) with a fixed per-cell `bucket` capacity: one stable sort by cell
+key, one fused row gather, one collision-free scatter. The 3x3 neighborhood
+search is then DENSE batched compute over [max_cells, bucket, bucket] tiles
+— every query slot scans every candidate slot of each neighboring cell with
+plain vectorized arithmetic, exact within the 3x3 neighborhood.
+
+Why not gather-per-candidate (the usual GPU formulation, and this module's
+first design): on this TPU a single random row gather over a 262k-point
+cloud measures ~2.8 ms and a searchsorted ~35 ms (18 binary-search rounds of
+gathers), so a windowed candidate scan (9 cells x 16 candidates x ~5 gathers
++ 27 searchsorteds) costs ~4.1 s. The bucket redesign does O(1) gathers
+total plus dense VPU tiles: ~60x faster at identical output (and exact —
+the windowed scan was approximate in dense cells).
 
 Deviations (documented):
   - the reference caps matches per source point at
@@ -23,6 +32,9 @@ Deviations (documented):
     10-match-per-pair floor are dropped the same way.
   - matching runs in the world frame once rather than per-pair relative
     frames; identical geometry, one transform.
+  - capacity clamps: points beyond `bucket` per cell or `max_cells` occupied
+    cells are dropped from matching (counted in Matches.dropped; zero on all
+    shipped configs — Figure8 max occupancy is ~45 at the 0.15 m cell).
 """
 
 from __future__ import annotations
@@ -32,6 +44,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -51,90 +64,139 @@ class Matches:
     target: Array   # [M] int32 flat index of matched point (0 if invalid)
     valid: Array    # [M] bool
     dist: Array     # [M] f32 distance to match
+    dropped: Array  # scalar int32: in-mask points not binned (capacity clamp)
 
 
-@partial(jax.jit, static_argnames=("window", "grid_hw"))
+@partial(jax.jit, static_argnames=("bucket", "max_cells"))
 def grid_match(
     world_pts: Array,     # [P, N, 2]
     world_nrm: Array,     # [P, N, 2]
     mask: Array,          # [P, N]
     threshold: float = POINT_MATCH_THRESHOLD,
-    min_cos: float = float(jnp.cos(MAX_STF_ANGLE_ERROR)),
-    window: int = 16,     # candidates scanned per neighboring cell
-    grid_hw: int = 1024,  # cells per axis (hash-folded)
+    min_cos: float = float(np.cos(MAX_STF_ANGLE_ERROR)),
+    bucket: int = 64,     # per-cell point capacity (Figure8 max occupancy ~45)
+    max_cells: int = 16384,  # occupied-cell capacity
 ) -> Matches:
-    """Approximate-NN with measured recall (tests/test_scan_match.py
-    test_grid_match_recall): on a dense Figure8 cloud (max cell occupancy
-    ~45 points at the 0.15 m cell size) the query-centered sub-cell window
-    misses <0.5% of brute-force matches, and suboptimal picks average ~1 cm
-    of excess distance — negligible under the point-to-plane metric. Dense
-    cells beyond `window` candidates are handled by sorting points by a 4x4
-    sub-cell key and CENTERING each query's fixed scan window at its own
-    sub-cell position within the cell run, so the scanned candidates are the
-    spatially nearest in sub-cell order rather than the first arrivals."""
+    """Exact best-in-3x3-neighborhood NN via dense bucket tables.
+
+    Stage 1 (bin): stable-sort flat points by integer cell key, derive each
+    point's (compact cell id, rank within cell) with a cummax over run
+    starts, and scatter all channels into a [max_cells, bucket, 8] table —
+    collision-free writes, one fused gather, one sort.
+
+    Stage 2 (match): for each of the 9 neighbor offsets, the neighbor cell's
+    compact id comes from ONE searchsorted over the [max_cells] sorted cell
+    keys; its bucket is one block-row gather; then every (query slot,
+    candidate slot) pair is scored in a dense [max_cells, bucket, bucket]
+    tile (distance + normal gate + same-pose exclusion) and min-reduced.
+    Exact within the 3x3 cell neighborhood whenever nothing is dropped
+    (Matches.dropped == 0; capacity clamps documented in the module
+    docstring)."""
     P, N, _ = world_pts.shape
     M = P * N
+    dtype = world_pts.dtype
     pts = world_pts.reshape(M, 2)
     nrm = world_nrm.reshape(M, 2)
     fmask = mask.reshape(M)
     pose_id = jnp.repeat(jnp.arange(P, dtype=jnp.int32), N)
+    INT_MAX = jnp.iinfo(jnp.int32).max
 
-    SUB = 4  # sub-cells per axis inside each cell (fine ordering key)
+    # integer cell key: offset keeps coords positive; SPAN 2^15 keeps the
+    # combined key within int32 for |coord| < 16384*threshold (>2.4 km at
+    # the 0.15 m reference threshold)
+    OFF, SPAN = 1 << 14, 1 << 15
     inv_h = 1.0 / threshold
-    fx = jnp.floor(pts[:, 0] * inv_h * SUB).astype(jnp.int32)
-    fy = jnp.floor(pts[:, 1] * inv_h * SUB).astype(jnp.int32)
-    cx = jnp.floor_divide(fx, SUB)
-    cy = jnp.floor_divide(fy, SUB)
-    # fold into a bounded hash grid; collisions only add candidates (they are
-    # rejected by the true distance test)
-    cell = (jnp.mod(cx, grid_hw) * grid_hw + jnp.mod(cy, grid_hw))
-    sub = (fx - cx * SUB) * SUB + (fy - cy * SUB)            # 0..15
-    key = cell * (SUB * SUB) + sub
-    key = jnp.where(fmask, key, jnp.iinfo(jnp.int32).max)    # masked -> end
+    ix = jnp.clip(jnp.floor(pts[:, 0] * inv_h).astype(jnp.int32) + OFF,
+                  0, SPAN - 1)
+    iy = jnp.clip(jnp.floor(pts[:, 1] * inv_h).astype(jnp.int32) + OFF,
+                  0, SPAN - 1)
+    key = jnp.where(fmask, ix * SPAN + iy, INT_MAX)   # masked -> end
 
-    order = jnp.argsort(key)
-    sorted_key = key[order]
+    order = jnp.argsort(key)                          # stable
+    skey = key[order]
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_real = skey != INT_MAX
+    is_new = is_real & ((pos == 0) | (skey != jnp.roll(skey, 1)))
+    cid = jnp.cumsum(is_new.astype(jnp.int32)) - 1    # compact cell id
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    rank = pos - run_start
 
-    best_d2 = jnp.full((M,), jnp.inf, pts.dtype)
-    best_idx = jnp.zeros((M,), jnp.int32)
+    slot_ok = is_real & (rank < bucket) & (cid < max_cells)
+    # rejected rows get DISTINCT dump slots — colliding scatter writes
+    # serialize on this TPU, a collision-free scatter is one parallel pass
+    slot = jnp.where(slot_ok, cid * bucket + rank, max_cells * bucket + pos)
+    dropped = jnp.sum(is_real & ~slot_ok).astype(jnp.int32)
+
+    # all channels in one row: x, y, nx, ny, pose, flat idx, occupied
+    chan = jnp.concatenate([
+        pts, nrm,
+        pose_id.astype(dtype)[:, None],
+        jnp.arange(M, dtype=dtype)[:, None],
+        jnp.ones((M, 1), dtype),
+    ], axis=1)[order]                                  # ONE fused row gather
+    table = jnp.zeros((max_cells * bucket + M, chan.shape[1]), dtype)
+    table = table.at[slot].set(jnp.where(slot_ok[:, None], chan, 0.0))
+    table = table[:max_cells * bucket].reshape(max_cells, bucket,
+                                               chan.shape[1])
+
+    # sorted occupied-cell keys (ascending since cid follows skey order);
+    # non-run-start rows write distinct dump slots (collision-free)
+    cell_ok = is_new & (cid < max_cells)
+    ucell = jnp.full((max_cells + M,), INT_MAX, jnp.int32).at[
+        jnp.where(cell_ok, cid, max_cells + pos)
+    ].set(jnp.where(cell_ok, skey, INT_MAX))[:max_cells]
+
+    q_xy = table[:, :, 0:2]
+    q_n = table[:, :, 2:4]
+    q_pose = table[:, :, 4]
+    q_idx = table[:, :, 5]
+    q_occ = table[:, :, 6] > 0.5
+
     t2 = threshold * threshold
+    best_d2 = jnp.full((max_cells, bucket), jnp.inf, dtype)
+    best_tgt = jnp.zeros((max_cells, bucket), dtype)
 
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            ncx, ncy = cx + dx, cy + dy
-            ncell = (jnp.mod(ncx, grid_hw) * grid_hw
-                     + jnp.mod(ncy, grid_hw))
-            base = ncell * (SUB * SUB)
-            start = jnp.searchsorted(sorted_key, base, side="left")
-            end = jnp.searchsorted(sorted_key, base + SUB * SUB, side="left")
-            # center the scan window at the query's sub-cell position within
-            # this neighbor cell's run
-            qsub = (jnp.clip(fx - ncx * SUB, 0, SUB - 1) * SUB
-                    + jnp.clip(fy - ncy * SUB, 0, SUB - 1))
-            center = jnp.searchsorted(sorted_key, base + qsub, side="left")
-            lo = jnp.clip(center - window // 2, start,
-                          jnp.maximum(end - window, start))
-            for w in range(window):
-                slot = lo + w
-                ok = slot < end
-                cand = order[jnp.minimum(slot, M - 1)]
-                d2 = jnp.sum((pts - pts[cand]) ** 2, axis=-1)
-                cos = jnp.sum(nrm * nrm[cand], axis=-1)
-                good = (
-                    ok
-                    & fmask
-                    & fmask[cand]
-                    & (pose_id[cand] != pose_id)
-                    & (d2 < t2)
-                    & (cos > min_cos)
-                    & (d2 < best_d2)
-                )
-                best_d2 = jnp.where(good, d2, best_d2)
-                best_idx = jnp.where(good, cand, best_idx)
+            off = dx * SPAN + dy
+            if off == 0:
+                nb, nb_ok = jnp.arange(max_cells), ucell != INT_MAX
+                cand = table
+            else:
+                qk = jnp.where(ucell != INT_MAX, ucell + off, INT_MAX)
+                nb = jnp.searchsorted(ucell, qk).astype(jnp.int32)
+                nb = jnp.minimum(nb, max_cells - 1)
+                nb_ok = (ucell[nb] == qk) & (qk != INT_MAX)
+                cand = table[nb]                       # block-row gather
+            c_xy, c_n = cand[:, :, 0:2], cand[:, :, 2:4]
+            d2 = jnp.sum(
+                (q_xy[:, :, None, :] - c_xy[:, None, :, :]) ** 2, -1)
+            cos = jnp.sum(q_n[:, :, None, :] * c_n[:, None, :, :], -1)
+            good = (
+                q_occ[:, :, None] & (cand[:, None, :, 6] > 0.5)
+                & (q_pose[:, :, None] != cand[:, None, :, 4])
+                & (d2 < t2) & (cos > min_cos) & nb_ok[:, None, None]
+            )
+            d2e = jnp.where(good, d2, jnp.inf)
+            j = jnp.argmin(d2e, axis=2)
+            dm = jnp.take_along_axis(d2e, j[:, :, None], 2)[:, :, 0]
+            tm = jnp.take_along_axis(cand[:, :, 5], j, 1)
+            upd = dm < best_d2
+            best_d2 = jnp.where(upd, dm, best_d2)
+            best_tgt = jnp.where(upd, tm, best_tgt)
 
-    valid = jnp.isfinite(best_d2)
-    return Matches(target=best_idx, valid=valid, dist=jnp.sqrt(
-        jnp.where(valid, best_d2, 0.0)))
+    # read each sorted point's result back from its slot (gather), then
+    # unsort via the permutation (collision-free scatter)
+    safe_slot = jnp.where(slot_ok, slot, 0)
+    d2_sorted = jnp.where(slot_ok, best_d2.reshape(-1)[safe_slot], jnp.inf)
+    tgt_sorted = jnp.where(slot_ok, best_tgt.reshape(-1)[safe_slot], 0.0)
+    res = jnp.zeros((M, 2), dtype).at[order].set(
+        jnp.stack([d2_sorted, tgt_sorted], axis=1))
+    valid = jnp.isfinite(res[:, 0])
+    return Matches(target=jnp.where(valid, res[:, 1].astype(jnp.int32), 0),
+                   valid=valid,
+                   dist=jnp.sqrt(jnp.where(valid, res[:, 0], 0.0)),
+                   dropped=dropped)
 
 
 @jax.tree_util.register_dataclass

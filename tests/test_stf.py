@@ -27,7 +27,7 @@ def test_grid_match_vs_bruteforce(rng):
     nrm = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
     mask = rng.uniform(size=(P, N)) > 0.1
     m = C.grid_match(jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(mask),
-                     threshold=0.3, window=16)
+                     threshold=0.3)
 
     flat = pts.reshape(-1, 2)
     fnrm = nrm.reshape(-1, 2)
