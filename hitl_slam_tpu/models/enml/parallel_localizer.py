@@ -93,10 +93,14 @@ def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
         nw = rotate(q[:, 2], flat_nrm).reshape(W, N, 2)
         import math
 
+        # capacities from measured per-window occupancy (figure8 W=80:
+        # <=887 occupied cells, max occupancy 107 — bucket 64 density-caps
+        # the over-observed cells, matching the reference's own
+        # max_correspondences_per_point clamp in spirit)
         m = grid_match(pw, nw, flat_mask.reshape(W, N),
                        threshold=o.point_match_threshold,
                        min_cos=math.cos(o.max_stf_angle_error),
-                       bucket=64, max_cells=W * N // 2)
+                       bucket=64, max_cells=max(1024, min(4096, W * N // 16)))
         return m.target, m.valid
 
     return match

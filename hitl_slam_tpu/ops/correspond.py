@@ -74,8 +74,8 @@ def grid_match(
     mask: Array,          # [P, N]
     threshold: float = POINT_MATCH_THRESHOLD,
     min_cos: float = float(np.cos(MAX_STF_ANGLE_ERROR)),
-    bucket: int = 64,     # per-cell point capacity (Figure8 max occupancy ~45)
-    max_cells: int = 16384,  # occupied-cell capacity
+    bucket: int = 64,     # per-cell point capacity (a density cap, see below)
+    max_cells: int | None = None,  # occupied-cell capacity (None: M // 32)
 ) -> Matches:
     """Exact best-in-3x3-neighborhood NN via dense bucket tables.
 
@@ -84,16 +84,23 @@ def grid_match(
     starts, and scatter all channels into a [max_cells, bucket, 8] table —
     collision-free writes, one fused gather, one sort.
 
-    Stage 2 (match): for each of the 9 neighbor offsets, the neighbor cell's
-    compact id comes from ONE searchsorted over the [max_cells] sorted cell
-    keys; its bucket is one block-row gather; then every (query slot,
-    candidate slot) pair is scored in a dense [max_cells, bucket, bucket]
-    tile (distance + normal gate + same-pose exclusion) and min-reduced.
-    Exact within the 3x3 cell neighborhood whenever nothing is dropped
-    (Matches.dropped == 0; capacity clamps documented in the module
-    docstring)."""
+    Stage 2 (match): the neighbor cell's compact id comes from ONE
+    searchsorted over the [max_cells] sorted cell keys; its bucket is one
+    block-row gather; then every (query slot, candidate slot) pair is
+    scored in a dense [max_cells, bucket, bucket] tile (distance + normal
+    gate + same-pose exclusion). Opposite offsets share one tile: the
+    (+dx,+dy) pass reduces over the candidate axis for its own queries AND
+    over the query axis for the neighbor's queries (scattered back via the
+    collision-free nb mapping), so the 3x3 neighborhood costs 5 tile
+    passes, not 9. Exact whenever nothing is dropped (Matches.dropped == 0;
+    capacity clamps documented in the module docstring)."""
     P, N, _ = world_pts.shape
     M = P * N
+    if max_cells is None:
+        # 2D lidar maps occupy ~perimeter*laps/h cells; M//32 holds 1.5-3x
+        # headroom on the shipped configs (Figure8 2-lap: 5293 occupied at
+        # M=262144). Violations surface in Matches.dropped.
+        max_cells = max(1024, min(16384, M // 32))
     dtype = world_pts.dtype
     pts = world_pts.reshape(M, 2)
     nrm = world_nrm.reshape(M, 2)
@@ -112,9 +119,14 @@ def grid_match(
                   0, SPAN - 1)
     key = jnp.where(fmask, ix * SPAN + iy, INT_MAX)   # masked -> end
 
-    order = jnp.argsort(key)                          # stable
-    skey = key[order]
+    # pre-shuffle so the per-cell capacity cap (rank < bucket) keeps an
+    # unbiased pseudo-random sample instead of the lowest pose ids (the
+    # stable sort would otherwise keep flat-index order within a cell);
+    # affects results only when a cell overflows `bucket`
     pos = jnp.arange(M, dtype=jnp.int32)
+    perm = jnp.argsort((pos * np.int32(-1640531527)) & np.int32(0x7FFFFFFF))
+    order = perm[jnp.argsort(key[perm])]              # stable within cells
+    skey = key[order]
     is_real = skey != INT_MAX
     is_new = is_real & ((pos == 0) | (skey != jnp.roll(skey, 1)))
     cid = jnp.cumsum(is_new.astype(jnp.int32)) - 1    # compact cell id
@@ -146,44 +158,86 @@ def grid_match(
         jnp.where(cell_ok, cid, max_cells + pos)
     ].set(jnp.where(cell_ok, skey, INT_MAX))[:max_cells]
 
-    q_xy = table[:, :, 0:2]
+    # recenter all slot coordinates on the OWNING cell's center: pairwise
+    # terms then involve only O(threshold)-magnitude values (no |world|^2
+    # cancellation in the matmul-expanded distance), and candidate offsets
+    # are the known (dx, dy)*h per neighbor step
+    kx = ucell // SPAN
+    ky = ucell - kx * SPAN
+    center = (jnp.stack([kx, ky], -1).astype(dtype)
+              - (OFF - 0.5)) * threshold               # [K, 2]
+    q_rel = table[:, :, 0:2] - center[:, None, :]
+    # unoccupied slots also serve as CANDIDATES in the reverse-offset
+    # reduction — push them out of range (their zero normals would fail the
+    # cos gate anyway, but only for min_cos > 0)
+    q_rel = jnp.where(table[:, :, 6:7] > 0.5, q_rel, 1e3)
     q_n = table[:, :, 2:4]
     q_pose = table[:, :, 4]
     q_idx = table[:, :, 5]
-    q_occ = table[:, :, 6] > 0.5
 
     t2 = threshold * threshold
-    best_d2 = jnp.full((max_cells, bucket), jnp.inf, dtype)
-    best_tgt = jnp.zeros((max_cells, bucket), dtype)
+    # one dump row at index max_cells absorbs reverse-side updates of
+    # queries with no such neighbor
+    best_d2 = jnp.full((max_cells + 1, bucket), jnp.inf, dtype)
+    best_tgt = jnp.zeros((max_cells + 1, bucket), dtype)
 
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            off = dx * SPAN + dy
-            if off == 0:
-                nb, nb_ok = jnp.arange(max_cells), ucell != INT_MAX
-                cand = table
-            else:
-                qk = jnp.where(ucell != INT_MAX, ucell + off, INT_MAX)
-                nb = jnp.searchsorted(ucell, qk).astype(jnp.int32)
-                nb = jnp.minimum(nb, max_cells - 1)
-                nb_ok = (ucell[nb] == qk) & (qk != INT_MAX)
-                cand = table[nb]                       # block-row gather
-            c_xy, c_n = cand[:, :, 0:2], cand[:, :, 2:4]
-            d2 = jnp.sum(
-                (q_xy[:, :, None, :] - c_xy[:, None, :, :]) ** 2, -1)
-            cos = jnp.sum(q_n[:, :, None, :] * c_n[:, None, :, :], -1)
-            good = (
-                q_occ[:, :, None] & (cand[:, None, :, 6] > 0.5)
-                & (q_pose[:, :, None] != cand[:, None, :, 4])
-                & (d2 < t2) & (cos > min_cos) & nb_ok[:, None, None]
-            )
-            d2e = jnp.where(good, d2, jnp.inf)
-            j = jnp.argmin(d2e, axis=2)
-            dm = jnp.take_along_axis(d2e, j[:, :, None], 2)[:, :, 0]
-            tm = jnp.take_along_axis(cand[:, :, 5], j, 1)
-            upd = dm < best_d2
-            best_d2 = jnp.where(upd, dm, best_d2)
-            best_tgt = jnp.where(upd, tm, best_tgt)
+    def tile(cand, nb_ok):
+        """Gated pairwise distances [K, Bq, Bc] for one neighbor offset."""
+        c_rel = cand[:, :, 0:2] - center[:, None, :]
+        bad = ~(nb_ok[:, None] & (cand[:, :, 6] > 0.5))
+        c_rel = jnp.where(bad[:, :, None], 1e3, c_rel)
+        d2 = jnp.sum((q_rel[:, :, None, :] - c_rel[:, None, :, :]) ** 2, -1)
+        cos = jnp.sum(q_n[:, :, None, :] * cand[:, None, :, 2:4], -1)
+        good = ((d2 < t2) & (cos > min_cos)
+                & (q_pose[:, :, None] != cand[:, None, :, 4]))
+        return jnp.where(good, d2, jnp.inf)
+
+    def fwd_reduce(d2e, cand):
+        dm = jnp.min(d2e, 2)
+        hit = (d2e <= dm[:, :, None]) & jnp.isfinite(dm)[:, :, None]
+        tm = jnp.max(jnp.where(hit, cand[:, None, :, 5], -1.0), 2)
+        return dm, tm
+
+    # center cell: queries and candidates are the same bucket
+    d2e = tile(table, ucell != INT_MAX)
+    dm, tm = fwd_reduce(d2e, table)
+    upd = dm < best_d2[:max_cells]
+    best_d2 = best_d2.at[:max_cells].set(
+        jnp.where(upd, dm, best_d2[:max_cells]))
+    best_tgt = best_tgt.at[:max_cells].set(
+        jnp.where(upd, tm, best_tgt[:max_cells]))
+
+    # the four +offset representatives; each tile also serves the opposite
+    # offset by reducing over the QUERY axis and scattering to the
+    # neighbor's rows (nb is injective per offset -> collision-free)
+    for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+        off = dx * SPAN + dy
+        qk = jnp.where(ucell != INT_MAX, ucell + off, INT_MAX)
+        nb = jnp.searchsorted(ucell, qk).astype(jnp.int32)
+        nb = jnp.minimum(nb, max_cells - 1)
+        nb_ok = (ucell[nb] == qk) & (qk != INT_MAX)
+        cand = table[nb]                           # block-row gather
+        d2e = tile(cand, nb_ok)
+
+        dm, tm = fwd_reduce(d2e, cand)
+        upd = dm < best_d2[:max_cells]
+        best_d2 = best_d2.at[:max_cells].set(
+            jnp.where(upd, dm, best_d2[:max_cells]))
+        best_tgt = best_tgt.at[:max_cells].set(
+            jnp.where(upd, tm, best_tgt[:max_cells]))
+
+        dmr = jnp.min(d2e, 1)                      # [K, Bc]: nb-cell queries
+        hitr = (d2e <= dmr[:, None, :]) & jnp.isfinite(dmr)[:, None, :]
+        tmr = jnp.max(jnp.where(hitr, q_idx[:, :, None], -1.0), 1)
+        rows = jnp.where(nb_ok, nb, max_cells)
+        old_d = best_d2[rows]
+        old_t = best_tgt[rows]
+        updr = dmr < old_d
+        best_d2 = best_d2.at[rows].set(jnp.where(updr, dmr, old_d))
+        best_tgt = best_tgt.at[rows].set(jnp.where(updr, tmr, old_t))
+
+    best_d2 = best_d2[:max_cells]
+    best_tgt = best_tgt[:max_cells]
 
     # read each sorted point's result back from its slot (gather), then
     # unsort via the permutation (collision-free scatter)
@@ -247,36 +301,40 @@ def build_stf_factors(
     # as separate one-sided bundles — same information, half the rows
     valid = matches.valid
 
-    # per-(pose0,pose1) bundle sizes for the RMS normalization + min-10 gate
-    pair_key = jnp.where(valid, pose0 * P + pose1, jnp.iinfo(jnp.int32).max)
+    # per-(pose0,pose1) bundle sizes for the RMS normalization + min-10
+    # gate: run boundaries in pair-sorted order (cummax/cummin over run
+    # starts/ends), then unsort via the permutation — no searchsorted (a
+    # [262k] searchsorted costs ~35 ms on this TPU; this is ~2 ms)
+    INT_MAX = jnp.iinfo(jnp.int32).max
+    pair_key = jnp.where(valid, pose0 * P + pose1, INT_MAX)
     sort_idx = jnp.argsort(pair_key)
     sorted_key = pair_key[sort_idx]
-    left = jnp.searchsorted(sorted_key, pair_key, side="left")
-    right = jnp.searchsorted(sorted_key, pair_key, side="right")
-    pair_count = (right - left).astype(points.dtype)
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_new = (pos == 0) | (sorted_key != jnp.roll(sorted_key, 1))
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    is_last = (pos == M - 1) | (sorted_key != jnp.roll(sorted_key, -1))
+    run_end = jax.lax.cummin(jnp.where(is_last, pos, M - 1), reverse=True)
+    count_sorted = (run_end - run_start + 1).astype(points.dtype)
+    pair_count = jnp.zeros((M,), points.dtype).at[sort_idx].set(count_sorted)
     valid = valid & (pair_count >= min_pair_matches)
 
     w = (correlation_factor / std_dev) / jnp.sqrt(jnp.maximum(pair_count, 1.0))
 
-    # compact the valid matches into the fixed-capacity table
+    # compact the valid matches into the fixed-capacity table; rejected
+    # rows write DISTINCT dump slots (colliding scatters serialize)
     slots = jnp.cumsum(valid) - 1
-    slots = jnp.where(valid, jnp.clip(slots, 0, capacity - 1), capacity - 1)
-    take = lambda a: jnp.zeros((capacity,) + a.shape[1:], a.dtype).at[
+    in_cap = valid & (slots < capacity)
+    slots = jnp.where(in_cap, slots, capacity + pos)
+    take = lambda a: jnp.zeros((capacity + M,) + a.shape[1:], a.dtype).at[
         slots].set(jnp.where(
-            valid.reshape((-1,) + (1,) * (a.ndim - 1)), a, 0))
-    f = STFFactors(
+            in_cap.reshape((-1,) + (1,) * (a.ndim - 1)), a, 0))[:capacity]
+    return STFFactors(
         pose0=take(pose0), pose1=take(pose1),
         p0=take(flat_pts[src]), p1=take(flat_pts[tgt]),
         n0=take(flat_nrm[src]), n1=take(flat_nrm[tgt]),
         weight=take(w),
-        valid=jnp.zeros((capacity,), bool).at[slots].set(valid),
-    )
-    # slot capacity-1 may hold garbage from invalid writes
-    return STFFactors(
-        pose0=f.pose0, pose1=f.pose1, p0=f.p0, p1=f.p1, n0=f.n0, n1=f.n1,
-        weight=f.weight,
-        valid=f.valid.at[capacity - 1].set(
-            f.valid[capacity - 1] & (jnp.sum(valid) >= capacity)),
+        valid=jnp.zeros((capacity + M,), bool).at[slots].set(in_cap)[
+            :capacity],
     )
 
 
