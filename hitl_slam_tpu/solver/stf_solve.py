@@ -61,14 +61,38 @@ def _scatter_block(H: Array, bi: Array, bj: Array, block: Array) -> Array:
     return H.at[rows, cols].add(block)
 
 
+# one-hot selector budget for the dense-refine assembly (elements per
+# [C, P] matrix; 2 are built, f32). 64k factors x 2k poses = 134M = 536 MB.
+STF_ONEHOT_BUDGET = 160 * 1024 * 1024
+
+
+def stf_onehots(stf: C.STFFactors, P: int, dtype) -> tuple | None:
+    """[C, P] selectors for the factor->pose reductions, or None when over
+    budget. Invalid rows point at pose 0 but carry zero Jacobians."""
+    Cn = stf.pose0.shape[0]
+    if Cn * P > STF_ONEHOT_BUDGET:
+        return None
+    r = jnp.arange(P)[None, :]
+    return ((stf.pose0[:, None] == r).astype(dtype),
+            (stf.pose1[:, None] == r).astype(dtype))
+
+
 def assemble_dense(
     problem,
     stf: C.STFFactors,
     poses: Array,
     include_chain: bool = True,
+    onehots: tuple | None = None,
 ) -> tuple[Array, Array, Array]:
     """Dense H [3P,3P], gradient g [3P], cost — odometry+human (optional)
-    + STF factors at `poses`."""
+    + STF factors at `poses`.
+
+    With `onehots` (built once per solve by stf_onehots), the per-pose
+    diagonal blocks and gradient ride the MXU as [P, C] @ [C, 12]
+    contractions and the off-diagonal coupling costs ONE block scatter plus
+    a dense transpose — TPU scatter-add serializes on colliding indices, so
+    this replaces 4 colliding scatters + 2 gradient scatters per LM
+    iteration with 1."""
     P = poses.shape[0]
     n = 3 * P
     dtype = poses.dtype
@@ -85,13 +109,33 @@ def assemble_dense(
     r = C.stf_residuals(stf, poses)            # [Cf, 2]
     J0, J1 = C.stf_jacobians(stf, poses)       # [Cf, 2, 3]
     J0T, J1T = jnp.swapaxes(J0, -1, -2), jnp.swapaxes(J1, -1, -2)
-    H = _scatter_block(H, stf.pose0, stf.pose0, J0T @ J0)
-    H = _scatter_block(H, stf.pose1, stf.pose1, J1T @ J1)
-    H = _scatter_block(H, stf.pose0, stf.pose1, J0T @ J1)
-    H = _scatter_block(H, stf.pose1, stf.pose0, J1T @ J0)
-    g = g.reshape(P, 3).at[stf.pose0].add(
-        (J0T @ r[..., None])[..., 0]
-    ).at[stf.pose1].add((J1T @ r[..., None])[..., 0]).reshape(n)
+    if onehots is not None:
+        oh0, oh1 = onehots
+        Cn = stf.pose0.shape[0]
+        X0 = jnp.concatenate([(J0T @ J0).reshape(Cn, 9),
+                              (J0T @ r[..., None])[..., 0]], axis=1)
+        X1 = jnp.concatenate([(J1T @ J1).reshape(Cn, 9),
+                              (J1T @ r[..., None])[..., 0]], axis=1)
+        Y = oh0.T @ X0 + oh1.T @ X1            # [P, 12] on the MXU
+        D_stf = Y[:, :9].reshape(P, 3, 3)
+        g_stf = Y[:, 9:]
+        r3 = jnp.arange(3)
+        i = jnp.arange(P)
+        rows = (3 * i)[:, None, None] + r3[None, :, None]
+        cols = (3 * i)[:, None, None] + r3[None, None, :]
+        H = H.at[rows, cols].add(D_stf)        # unique indices
+        H_off = _scatter_block(jnp.zeros((n, n), dtype),
+                               stf.pose0, stf.pose1, J0T @ J1)
+        H = H + H_off + H_off.T
+        g = (g.reshape(P, 3) + g_stf).reshape(n)
+    else:
+        H = _scatter_block(H, stf.pose0, stf.pose0, J0T @ J0)
+        H = _scatter_block(H, stf.pose1, stf.pose1, J1T @ J1)
+        H = _scatter_block(H, stf.pose0, stf.pose1, J0T @ J1)
+        H = _scatter_block(H, stf.pose1, stf.pose0, J1T @ J0)
+        g = g.reshape(P, 3).at[stf.pose0].add(
+            (J0T @ r[..., None])[..., 0]
+        ).at[stf.pose1].add((J1T @ r[..., None])[..., 0]).reshape(n)
     cost = cost + 0.5 * jnp.sum(r * r)
 
     # gauge fix pose 0
@@ -250,10 +294,11 @@ def stf_lm_solve(
         return c + 0.5 * jnp.sum(r * r)
 
     c0 = cost_only(poses0)
+    onehots = stf_onehots(stf, poses0.shape[0], dtype)
 
     def body(state):
         x, mu, nu, c, it, done = state
-        H, g, _ = assemble_dense(problem, stf, x, include_chain)
+        H, g, _ = assemble_dense(problem, stf, x, include_chain, onehots)
         diag = jnp.clip(jnp.diagonal(H), config.min_diagonal,
                         config.max_diagonal)
         Hd = H + mu * jnp.diag(diag)
