@@ -49,6 +49,29 @@ def test_grid_match_vs_bruteforce(rng):
             assert got_v[i], i
             expect = np.flatnonzero(ok)[np.argmin(d2[ok])]
             assert got_t[i] == expect, (i, got_t[i], expect)
+    assert int(m.dropped) == 0
+
+
+def test_grid_match_density_cap_counts_dropped(rng):
+    """Cells holding more than `bucket` points density-cap the excess and
+    report it in Matches.dropped; surviving points still match exactly."""
+    n = 96
+    pts = rng.uniform(0, 0.05, (2, n, 2)).astype(np.float32)  # ONE cell
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (2, n, 1))
+    mask = np.ones((2, n), bool)
+    m = C.grid_match(jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(mask),
+                     threshold=0.15, bucket=64)
+    # 192 points in one cell, 64 kept
+    assert int(m.dropped) == 192 - 64
+    # kept points all have a cross-pose neighbor within range
+    assert int(jnp.sum(m.valid)) > 0
+    v = np.asarray(m.valid)
+    t = np.asarray(m.target)
+    pose = np.repeat(np.arange(2), n)
+    flat = pts.reshape(-1, 2)
+    for i in np.flatnonzero(v):
+        assert pose[t[i]] != pose[i]
+        assert np.sum((flat[t[i]] - flat[i]) ** 2) < 0.15**2
 
 
 def test_stf_jacobians_match_autodiff(rng):
