@@ -127,10 +127,15 @@ def _window_gn(
     o: EnmlOptions,
     match_fn=None,       # (poses) -> (tgt, valid) override; default brute
     w_pin: Array | None = None,  # [W] bool — poses to pin (besides pose 0)
+    eval_only: bool = False,  # skip GN: one match + one Hessian evaluation
 ):
     """`match_rounds` x (window NN match -> gn_iterations damped GN steps on
     the dense [3W,3W] window system); pose 0 of the window fixed.
     Returns (poses, H) with H the final Hessian (for covariance extraction).
+
+    `eval_only=True` returns the input poses unchanged together with the
+    Hessian evaluated AT those poses (fresh match, zero GN iterations) — the
+    cheap path for covariance extraction at already-converged estimates.
     """
     W, N, _ = w_pts.shape
     M = W * N
@@ -152,7 +157,7 @@ def _window_gn(
         return _brute_window_match(poses, flat_pts, flat_nrm, flat_mask,
                                    pose_of, t2, min_cos)
 
-    def gn_round(carry, _):
+    def gn_round(carry, _, n_iter=o.gn_iterations):
         poses, _unused = carry
         tgt, valid = match(poses)
         s_pose = pose_of
@@ -278,10 +283,13 @@ def _window_gn(
             return poses + step
 
         # unrolled: nested sequential lax loops don't pipeline on TPU
-        for _ in range(o.gn_iterations):
+        for _ in range(n_iter):
             poses = gn_step(poses)
         H_final, _ = system(poses)
         return poses, H_final
+
+    if eval_only:
+        return gn_round((w_poses, None), None, n_iter=0)
 
     H = jnp.eye(3 * W, dtype=w_poses.dtype)
     poses = w_poses

@@ -145,8 +145,11 @@ def checkerboard_localize(
         n_win = -(-(P - first) // W) if P > first else 0
         return first + W * jnp.arange(max(n_win, 1)), max(n_win, 1)
 
-    def solve_one(start, poses):
-        """One window GN solve; returns (new window poses [W,3], H)."""
+    def solve_one(start, poses, eval_only=False):
+        """One window GN solve; returns (new window poses [W,3], H).
+
+        eval_only: no GN iterations — just the window Hessian at `poses`
+        (one fresh match + one assembly), for covariance extraction."""
         w_poses, idx = _gather_windows(poses, start[None], W, P - 1)
         w_poses, idx = w_poses[0], idx[0]
         active = idx < P
@@ -166,6 +169,7 @@ def checkerboard_localize(
         new_poses, H = _window_gn(
             w_poses, w_pts, w_nrm, w_mask, w_axis, w_d, w_rot, w_isig,
             w_chain_valid, o, match_fn=match_fn, w_pin=~active,
+            eval_only=eval_only,
         )
         new_poses = jnp.where(active[:, None], new_poses, w_poses)
         return new_poses, H, idx, active
@@ -234,9 +238,9 @@ def checkerboard_localize(
         if P > half:
             poses = half_pass(poses, starts1_np)
 
-    # ---- covariance extraction (even tiling): one more window solve per
-    # even window at the final estimates; its Hessian (evaluated at the
-    # window's refined poses) provides every pose's 3x3 marginal ----
+    # ---- covariance extraction (even tiling): evaluate each even window's
+    # Hessian AT the final estimates (eval_only: one match + one assembly,
+    # no GN iterations); it provides every pose's 3x3 marginal ----
     B0 = starts0_np.shape[0]
     Bpad = -(-B0 // chunk) * chunk
     starts_p = jnp.concatenate(
@@ -244,7 +248,7 @@ def checkerboard_localize(
 
     def run_chunk(chunk_starts):
         def one(s):
-            _np_, H, idx, active = solve_one(s, poses)
+            _np_, H, idx, active = solve_one(s, poses, eval_only=True)
             m3 = jnp.repeat(active, 3)
             H = jnp.where(m3[:, None] & m3[None, :], H, 0.0)
             H = H + jnp.diag(jnp.where(m3, 1e-9, 1.0).astype(dtype))
