@@ -15,6 +15,11 @@ The linear solve is block cyclic reduction (solver/tridiag.py) — log-depth,
 no scans — so one LM iteration is a handful of fused vector passes.
 NO_CONVERGENCE (hitting the iteration cap) is treated as success, matching
 the reference's explicit behavior (JointOptimization.cpp:1123-1133).
+
+Normal-equations assembly defaults to the SoA path (solver/assembly_soa.py):
+identical math in lane-major [P]-vector form. Measured on v5e: 8.73 ->
+3.26 ms/LM-iter at P=8192, 1.93 -> 1.69 at P=1024 (the AoS [P,3,3]
+block-array composition hits an XLA fusion/layout pathology at large P).
 """
 
 from __future__ import annotations
@@ -59,6 +64,7 @@ def solve(
     poses0: Array,
     config: LMConfig = LMConfig(),
     linear_solver: Callable[[Array, Array, Array], Array] | None = None,
+    use_soa: bool = True,
 ) -> LMResult:
     """Run LM from poses0. Static over pose count; jit/vmap-safe.
 
@@ -76,7 +82,20 @@ def solve(
     if linear_solver is None:
         linear_solver = bcr_solve
     dtype = poses0.dtype
-    D0, U0, g0, c0 = normal_equations(problem, poses0)
+    if use_soa:
+        # SoA assembly: identical math in lane-major scalar form — avoids the
+        # [P,3,3]-minor-dim XLA fusion pathology at large P (assembly_soa.py)
+        from .assembly_soa import normal_equations_soa, soa_constants
+
+        sc = soa_constants(problem)
+
+        def assemble(x):
+            return normal_equations_soa(problem, sc, x)
+    else:
+        def assemble(x):
+            return normal_equations(problem, x)
+
+    D0, U0, g0, c0 = assemble(poses0)
 
     # Each iteration does exactly ONE fused residual+Jacobian pass — at the
     # trial point — producing both the acceptance cost and (on accept) the
@@ -92,7 +111,7 @@ def solve(
         D_damped = D + mu * jax.vmap(jnp.diag)(diag)
         step = linear_solver(D_damped, U, -g)            # [P,3]
         x_new = x + step
-        D_new, U_new, g_new, c_new = normal_equations(problem, x_new)
+        D_new, U_new, g_new, c_new = assemble(x_new)
 
         # model decrease for the gain ratio: L(0)-L(step)
         # = -g.step - 0.5 step^T H step;  with H step ~= -g - mu*Dg*step:
@@ -143,7 +162,8 @@ def solve(
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "use_soa"))
 def solve_jit(problem: JointProblem, poses0: Array,
-              config: LMConfig = LMConfig()) -> LMResult:
-    return solve(problem, poses0, config)
+              config: LMConfig = LMConfig(),
+              use_soa: bool = True) -> LMResult:
+    return solve(problem, poses0, config, use_soa=use_soa)
