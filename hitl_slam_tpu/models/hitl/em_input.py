@@ -73,15 +73,15 @@ def _segfit_theta(pts: Array, w: Array, cm: Array, half_len: Array,
     elementwise passes with NO sqrt (this runs 25x per round over the full
     point map — it was the single largest device cost of the repair cycle):
       - e_pos.n = e_neg.n = rel.n = perp            (a.n = 0)
-      - |e_+-|^2 = |rel|^2 -+ 2 L t + L^2, with |rel|^2 theta-independent
+      - |e_+-|^2 = (|t| - L)^2 + perp^2  (computed difference-first: the
+        rel2 + L^2 - 2L|t| form cancels catastrophically for points near an
+        endpoint, where both terms are O(L^2) but |e|^2 ~ cm^2)
       - end zones:  jac*d = +-perp*L,  jac^2 = perp^2 L^2 / |e|^2
         interior:   jac*d = -t*perp,   jac^2 = t^2
     Weights fold in by pre-zeroing rel (w in {0,1}): zeroed points land in
     the interior branch with exactly zero num/den contribution.
     """
     relw = (pts - cm) * w[:, None]          # [M, 2]; non-inliers -> 0
-    rel2 = jnp.sum(relw * relw, axis=-1)    # theta-independent
-    L2 = half_len * half_len
 
     def body(_, theta):
         c, s = jnp.cos(theta), jnp.sin(theta)
@@ -90,8 +90,9 @@ def _segfit_theta(pts: Array, w: Array, cm: Array, half_len: Array,
         interior = jnp.abs(t) <= half_len
         pos = t > 0
         pl = perp * half_len
-        # squared end distances (no sqrt anywhere)
-        e2 = jnp.maximum(rel2 + L2 - 2.0 * half_len * jnp.abs(t), 1e-18)
+        # squared end distances (no sqrt anywhere; difference-first = stable)
+        dt_end = jnp.abs(t) - half_len
+        e2 = jnp.maximum(dt_end * dt_end + perp * perp, 1e-18)
         nd = jnp.where(interior, -t * perp, jnp.where(pos, pl, -pl))
         dd = jnp.where(interior, t * t, pl * pl / e2)
         num = jnp.sum(nd)
