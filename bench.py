@@ -236,15 +236,34 @@ def main():
 
         NCHAIN = 4  # 4 x ~3k pair-grid rows stays within the 16384 table
 
+        # ONE fused program for the whole chain (lax.fori_loop over cycles,
+        # per-cycle selections gathered from a stacked array): measures what
+        # the chip does with zero per-cycle dispatch. A Python loop of 4
+        # jitted cycle_step calls was measured at ~10-11 ms/cycle against
+        # ~2.7-4.6 ms for the same chain fused — the difference is pure
+        # per-dispatch overhead of this environment's remote relay.
+        from jax import lax as _lax
+
+        sel_stack = jnp.stack(
+            [sel_cycle[k % len(sel_cycle)] for k in range(NCHAIN)])
+
+        @_jax.jit
         def chained(poses, covs, table, n0):
             ctype = jnp.asarray(4, jnp.int32)
-            n = n0
-            for k in range(NCHAIN):
-                out = cycle_step(st.points, st.point_mask, poses, covs, table,
-                                 ctype, sel_cycle[k % len(sel_cycle)], n)
-                poses, covs, table = out.poses, out.covariances, out.constraints
-                n = n + out.num_new_constraints
-            return poses, covs
+
+            def body(k, carry):
+                poses, covs, table, n = carry
+                out = cycle_step(st.points, st.point_mask, poses, covs,
+                                 table, ctype, sel_stack[k], n)
+                return (out.poses, out.covariances, out.constraints,
+                        n + out.num_new_constraints)
+
+            poses, covs, table, n = _lax.fori_loop(
+                0, NCHAIN, body, (poses, covs, table, n0))
+            # scalar checksums computed IN-PROGRAM: fetching them forces all
+            # the work without dispatching a separate reduction program
+            # (which would pay its own ~5-10 ms relay dispatch overhead)
+            return poses, covs, jnp.sum(poses) + jnp.sum(covs)
 
         # warmup then timed: state stays on device across all chained cycles;
         # start from a FRESH constraint table (same shape -> same compiled
@@ -254,12 +273,18 @@ def main():
         p0, c0v = st.poses, st.covariances
         t0v = _CT.empty(CAPACITY)
         n0 = jnp.asarray(0, jnp.int32)
-        outp, outc = chained(p0, c0v, t0v, n0)
+        outp, outc, chk = chained(p0, c0v, t0v, n0)
         _jax.block_until_ready((outp, outc))
-        t0 = time.perf_counter()
-        outp, outc = chained(p0, c0v, t0v, n0)
-        _jax.block_until_ready((outp, outc))
-        pipelined_ms = (time.perf_counter() - t0) * 1e3 / NCHAIN
+        # NOTES.md timing trap: force the work by fetching the in-program
+        # checksum; vary the inputs per sample
+        pipe_samples = []
+        for k in range(3):
+            pk = p0 + 1e-6 * (k + 1)
+            t0 = time.perf_counter()
+            outp, outc, chk = chained(pk, c0v, t0v, n0)
+            _ = float(chk)
+            pipe_samples.append((time.perf_counter() - t0) * 1e3 / NCHAIN)
+        pipelined_ms = min(pipe_samples)
 
     except Exception as e:
         import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
