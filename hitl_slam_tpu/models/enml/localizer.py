@@ -194,38 +194,51 @@ def _window_gn(
             J1 = J1 * w_chain_valid[:, None, None]
             J2 = J2 * w_chain_valid[:, None, None]
 
-            # symmetric point-to-plane STF residuals/jacobians
+            # symmetric point-to-plane STF residuals/jacobians, in SoA
+            # scalar lanes: [M,2,3]/[M,2] block arrays tile the (8,128)
+            # vector registers at a fraction of occupancy (the same layout
+            # pathology measured in the joint solver's AoS assembly), so
+            # every Jacobian entry is built as a flat [M] vector and only
+            # the [M,9] products that feed the MXU reduction materialize.
             q_s = poses[s_pose]
             q_t = poses[t_pose]
-            spw = rotate(q_s[:, 2], sp) + q_s[:, :2]
-            tpw = rotate(q_t[:, 2], tp) + q_t[:, :2]
-            snw = rotate(q_s[:, 2], sn)
-            tnw = rotate(q_t[:, 2], tn)
-            dp = tpw - spw
-            vmask = valid.astype(poses.dtype) * wgt
-            r0 = jnp.sum(snw * dp, -1) * vmask
-            r1 = jnp.sum(tnw * dp, -1) * vmask
-            dsp = perp(spw - q_s[:, :2])
-            dtp = perp(tpw - q_t[:, :2])
-            dsn = perp(snw)
-            dtn = perp(tnw)
-            j0 = jnp.stack([
-                jnp.concatenate([-vmask[:, None] * snw,
-                                 (vmask * (jnp.sum(dsn * dp, -1)
-                                           - jnp.sum(snw * dsp, -1)))[:, None]],
-                                -1),
-                jnp.concatenate([-vmask[:, None] * tnw,
-                                 (-vmask * jnp.sum(tnw * dsp, -1))[:, None]],
-                                -1),
-            ], axis=1)
-            j1 = jnp.stack([
-                jnp.concatenate([vmask[:, None] * snw,
-                                 (vmask * jnp.sum(snw * dtp, -1))[:, None]], -1),
-                jnp.concatenate([vmask[:, None] * tnw,
-                                 (vmask * (jnp.sum(dtn * dp, -1)
-                                           + jnp.sum(tnw * dtp, -1)))[:, None]],
-                                -1),
-            ], axis=1)
+            cs_, ss_ = jnp.cos(q_s[:, 2]), jnp.sin(q_s[:, 2])
+            ct_, st_ = jnp.cos(q_t[:, 2]), jnp.sin(q_t[:, 2])
+            spx, spy = sp[:, 0], sp[:, 1]
+            tpx, tpy = tp[:, 0], tp[:, 1]
+            # world points/normals (rotated robot-frame, scalar form)
+            rsx = cs_ * spx - ss_ * spy          # R(th_s) sp
+            rsy = ss_ * spx + cs_ * spy
+            rtx = ct_ * tpx - st_ * tpy
+            rty = st_ * tpx + ct_ * tpy
+            spwx, spwy = rsx + q_s[:, 0], rsy + q_s[:, 1]
+            tpwx, tpwy = rtx + q_t[:, 0], rty + q_t[:, 1]
+            snwx = cs_ * sn[:, 0] - ss_ * sn[:, 1]
+            snwy = ss_ * sn[:, 0] + cs_ * sn[:, 1]
+            tnwx = ct_ * tn[:, 0] - st_ * tn[:, 1]
+            tnwy = st_ * tn[:, 0] + ct_ * tn[:, 1]
+            dpx, dpy = tpwx - spwx, tpwy - spwy
+            vm = valid.astype(poses.dtype) * wgt
+            r0 = (snwx * dpx + snwy * dpy) * vm
+            r1 = (tnwx * dpx + tnwy * dpy) * vm
+            # dsp = perp(R sp) = (-rsy, rsx); dtp = (-rty, rtx)
+            # dsn = perp(snw); dtn = perp(tnw)
+            snw_dsp = -snwx * rsy + snwy * rsx
+            tnw_dsp = -tnwx * rsy + tnwy * rsx
+            snw_dtp = -snwx * rty + snwy * rtx
+            tnw_dtp = -tnwx * rty + tnwy * rtx
+            dsn_dp = -snwy * dpx + snwx * dpy
+            dtn_dp = -tnwy * dpx + tnwx * dpy
+            # j0/j1 rows as scalar triples: j0 = d(r0,r1)/d(pose_s),
+            # j1 = d(r0,r1)/d(pose_t)
+            a0x, a0y = -vm * snwx, -vm * snwy
+            a0t = vm * (dsn_dp - snw_dsp)
+            a1x, a1y = -vm * tnwx, -vm * tnwy
+            a1t = -vm * tnw_dsp
+            b0x, b0y = vm * snwx, vm * snwy
+            b0t = vm * snw_dtp
+            b1x, b1y = vm * tnwx, vm * tnwy
+            b1t = vm * (dtn_dp + tnw_dtp)
 
             # dense [3W, 3W] assembly
             n3 = 3 * W
@@ -250,22 +263,38 @@ def _window_gn(
 
             # STF factor reduction as one-hot MXU contractions: M point
             # factors collide on W poses, and TPU scatter-add serializes on
-            # colliding indices (the measured pathology from the joint
-            # solver); two [M,W] one-hots turn the whole [W,W,3,3] assembly
-            # into einsums (M*W^2*9 flops — trivial on the MXU)
-            j0T = jnp.swapaxes(j0, -1, -2)
-            j1T = jnp.swapaxes(j1, -1, -2)
+            # colliding indices. The (s,s) and (t,t) terms are BLOCK
+            # DIAGONAL (oh_s[m,i] oh_s[m,j] = 0 unless i == j), so each is
+            # one [W,M]@[M,9] matmul; only the cross term needs the pair
+            # structure — mask X by oh_t then one [W,M]@[M,W*9] matmul, and
+            # the (t,s) term is its block transpose. (Four
+            # "mi,mj,mab->iajb" einsums lowered to broadcast passes, ~2-3 ms
+            # per system call at a 16-window batch — measured dominant cost
+            # of the checkerboard sweep.)
             wi = jnp.arange(W)
             oh_s = (s_pose[:, None] == wi[None, :]).astype(poses.dtype)
             oh_t = (t_pose[:, None] == wi[None, :]).astype(poses.dtype)
-            Hb = (jnp.einsum("mi,mj,mab->iajb", oh_s, oh_s, j0T @ j0)
-                  + jnp.einsum("mi,mj,mab->iajb", oh_t, oh_t, j1T @ j1)
-                  + jnp.einsum("mi,mj,mab->iajb", oh_s, oh_t, j0T @ j1)
-                  + jnp.einsum("mi,mj,mab->iajb", oh_t, oh_s, j1T @ j0))
-            H = H + Hb.reshape(n3, n3)
-            rr = jnp.stack([r0, r1], -1)
-            g = g + jnp.einsum("mi,ma->ia", oh_s, (j0T @ rr[..., None])[..., 0])
-            g = g + jnp.einsum("mi,ma->ia", oh_t, (j1T @ rr[..., None])[..., 0])
+            a = (a0x, a0y, a0t)
+            b = (b0x, b0y, b0t)
+            a1 = (a1x, a1y, a1t)
+            b1_ = (b1x, b1y, b1t)
+            # X[p*3+q] entries: X0 = j0^T j0, X1 = j1^T j1, X2 = j0^T j1
+            X0 = jnp.stack([a[p] * a[q] + a1[p] * a1[q]
+                            for p in range(3) for q in range(3)], axis=-1)
+            X1 = jnp.stack([b[p] * b[q] + b1_[p] * b1_[q]
+                            for p in range(3) for q in range(3)], axis=-1)
+            X2 = jnp.stack([a[p] * b[q] + a1[p] * b1_[q]
+                            for p in range(3) for q in range(3)], axis=-1)
+            D_st = (oh_s.T @ X0 + oh_t.T @ X1).reshape(W, 3, 3)
+            Y = X2[:, None, :] * oh_t[:, :, None]            # [M, W, 9]
+            Cst = (oh_s.T @ Y.reshape(M, W * 9)).reshape(W, W, 3, 3)
+            Hb = Cst + jnp.transpose(Cst, (1, 0, 3, 2))      # + (t,s) term
+            Hb = Hb.at[wi, wi].add(D_st)                     # unique indices
+            H = H + jnp.transpose(Hb, (0, 2, 1, 3)).reshape(n3, n3)
+            # gradient: j0^T (r0, r1) and j1^T (r0, r1), scalar form
+            ga = jnp.stack([a[p] * r0 + a1[p] * r1 for p in range(3)], -1)
+            gb = jnp.stack([b[p] * r0 + b1_[p] * r1 for p in range(3)], -1)
+            g = g + oh_s.T @ ga + oh_t.T @ gb
 
             # pin the window-first pose + any caller-pinned (inactive) poses:
             # zero their rows/cols, identity diagonal, zero gradient
