@@ -105,6 +105,65 @@ def test_stf_jacobians_match_autodiff(rng):
             atol=1e-4, err_msg=f"J1 {k}")
 
 
+def test_stf_scalar_products_match_aos(rng):
+    """The SoA scalar-lane products driving the dense-refine assembly must
+    reproduce the AoS J^T J / J^T r blocks (solver/stf_solve.py)."""
+    from hitl_slam_tpu.solver.stf_solve import _stf_scalar_products
+
+    world, normals, mask = _two_pose_cloud(rng)
+    poses = jnp.asarray(
+        np.array([[0.02, -0.01, 0.01], [0.1, -0.02, 0.03]], np.float32))
+    m = C.grid_match(world, normals, mask, threshold=0.2)
+    f = C.build_stf_factors(world, normals, m, capacity=256,
+                            min_pair_matches=5)
+    r = np.asarray(C.stf_residuals(f, poses))
+    J0, J1 = map(np.asarray, C.stf_jacobians(f, poses))
+    X0, X1, X2, sq = map(np.asarray, _stf_scalar_products(f, poses))
+    Cn = f.pose0.shape[0]
+    J0T = np.swapaxes(J0, -1, -2)
+    J1T = np.swapaxes(J1, -1, -2)
+    np.testing.assert_allclose(X0[:, :9], (J0T @ J0).reshape(Cn, 9),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(X1[:, :9], (J1T @ J1).reshape(Cn, 9),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(X2, (J0T @ J1).reshape(Cn, 9),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(X0[:, 9:], (J0T @ r[..., None])[..., 0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(X1[:, 9:], (J1T @ r[..., None])[..., 0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sq, np.sum(r * r, -1), rtol=1e-5, atol=1e-6)
+
+
+def test_pair_sorted_assembly_matches_plain(rng):
+    """assemble_dense with pair_runs (sorted table, cumsum off-diag,
+    collision-free scatter) == assemble_dense with the plain scatter."""
+    from hitl_slam_tpu.core.state import ConstraintTable
+    from hitl_slam_tpu.solver.joint import build_problem
+    from hitl_slam_tpu.solver.stf_solve import (assemble_dense,
+                                                sort_factors_by_pair,
+                                                stf_onehots)
+
+    world, normals, mask = _two_pose_cloud(rng)
+    poses = jnp.asarray(
+        np.array([[0, 0, 0], [0.1, -0.02, 0.03]], np.float32))
+    m = C.grid_match(world, normals, mask, threshold=0.2)
+    f = C.build_stf_factors(world, normals, m, capacity=256,
+                            min_pair_matches=5)
+    prob = build_problem(poses, ConstraintTable.empty(4))
+    oh = stf_onehots(f, 2, jnp.float32)
+    H_a, g_a, c_a = assemble_dense(prob, f, poses, True, oh)
+    fs, run_last, run_start = sort_factors_by_pair(f, 2)
+    oh_s = stf_onehots(fs, 2, jnp.float32)
+    H_b, g_b, c_b = assemble_dense(prob, fs, poses, True, oh_s,
+                                   (run_last, run_start))
+    np.testing.assert_allclose(np.asarray(H_b), np.asarray(H_a),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(c_b), float(c_a), rtol=1e-5)
+
+
 def test_refine_aligns_offset_wall(rng):
     """Two scans of one wall, offset 5 cm: the STF refine should pull the
     second pose to close the gap."""
