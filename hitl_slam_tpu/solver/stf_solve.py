@@ -29,7 +29,6 @@ from jax import lax
 
 from ..core.state import ConstraintTable
 from ..ops import correspond as C
-from ..ops import residuals as R
 from .joint import build_problem, normal_equations
 from .lm import LMConfig
 
