@@ -22,6 +22,12 @@ Pipeline per proposal:
      human would draw it;
   4. endpoints snap to the nearest observed points so the engine's 0.05 m
      verification gate (HitLSLAM.cpp:218-243) passes.
+
+All candidates' likelihood fields, correlative matches, and RANSAC segment
+extractions run as three vmapped device programs (fixed-size padded anchor
+neighborhoods); only the final segment pairing / snapping / gating loop is
+host numpy over the handful of survivors — so proposal generation scales to
+batch auto-repair of large maps, not just interactive use.
 """
 
 from __future__ import annotations
@@ -59,13 +65,6 @@ def _snap(endpoint: np.ndarray, pts: np.ndarray, max_d: float = 0.12):
     if d[k] > max_d:
         return None
     return pts[k]
-
-
-def _neighborhood_points(world: np.ndarray, mask: np.ndarray,
-                         idx: np.ndarray) -> np.ndarray:
-    pts = world[idx].reshape(-1, 2)
-    m = mask[idx].reshape(-1)
-    return pts[m]
 
 
 def propose_corrections(
@@ -106,31 +105,71 @@ def propose_corrections(
         if len(chosen) >= 2 * max_proposals:
             break
 
+    if not chosen:
+        return []
+
+    # --- batched device stage: ALL candidates' likelihood fields,
+    # correlative matches, and RANSAC segment extractions run as three
+    # vmapped programs (the per-candidate Python loop of device calls was
+    # the scaling bottleneck for batch auto-repair of large maps) ---------
+    B = len(chosen)
+    nb2 = 2 * neighborhood + 1
+    N = world.shape[1]
+    ii = np.array([i for i, _ in chosen])
+    jj = np.array([j for _, j in chosen])
+    win = ii[:, None] + np.arange(-neighborhood, neighborhood + 1)[None]
+    pose_ok = (win >= 0) & (win < P)
+    win = np.clip(win, 0, P - 1)
+    a_pts = jnp.asarray(world[win].reshape(B, nb2 * N, 2), jnp.float32)
+    a_mask = jnp.asarray((mask[win] & pose_ok[:, :, None]
+                          ).reshape(B, nb2 * N))
+    centers = jnp.asarray(poses[ii, :2], jnp.float32)
+    scans = state.points[jj]
+    scan_masks = state.point_mask[jj]
+    guesses = jnp.asarray(poses[jj], jnp.float32)
+
+    fields = jax.vmap(
+        lambda p, m, c: build_likelihood_field(p, m, c, params))(
+            a_pts, a_mask, centers)
+    matched_b, score_b, ambiguity_b = jax.vmap(
+        lambda f, c, s, sm, g: correlative_match(f, c, s, sm, g, params))(
+            fields, centers, scans, scan_masks, guesses)
+    matched_b = np.asarray(matched_b)
+    score_b = np.asarray(score_b)
+    ambiguity_b = np.asarray(ambiguity_b)
+
+    rp = RansacParams(num_segments=8, min_inliers=10, min_length=0.8)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 2 * B)
+    seg_a_b = jax.vmap(lambda p, m, k: extract_segments(p, m, k, rp))(
+        a_pts, a_mask, keys[:B])
+    # each scan placed at its MATCHED pose (where it should be)
+    cb, sb = jnp.cos(jnp.asarray(matched_b[:, 2])), jnp.sin(
+        jnp.asarray(matched_b[:, 2]))
+    scans_w = jnp.stack([
+        cb[:, None] * scans[..., 0] - sb[:, None] * scans[..., 1]
+        + jnp.asarray(matched_b[:, 0:1]),
+        sb[:, None] * scans[..., 0] + cb[:, None] * scans[..., 1]
+        + jnp.asarray(matched_b[:, 1:2]),
+    ], axis=-1)
+    seg_c_b = jax.vmap(lambda p, m, k: extract_segments(p, m, k, rp))(
+        scans_w, scan_masks, keys[B:])
+    a_mask_np = np.asarray(a_mask)
+    a_pts_np = np.asarray(a_pts)
+    scan_mask_np = np.asarray(scan_masks)
+
     proposals: list[Proposal] = []
-    key = jax.random.PRNGKey(seed)
-    for i, j in chosen:
-        lo, hi = max(0, i - neighborhood), min(P, i + neighborhood + 1)
-        anchor_idx = np.arange(lo, hi)
-        anchor_pts = _neighborhood_points(world, mask, anchor_idx)
-        if len(anchor_pts) < 50:
+    for b, (i, j) in enumerate(chosen):
+        if int(a_mask_np[b].sum()) < 50:
             continue
-        center = jnp.asarray(poses[i, :2])
-        field = build_likelihood_field(
-            jnp.asarray(anchor_pts), jnp.ones(len(anchor_pts), bool),
-            center, params)
-        scan = state.points[j]
-        matched, score, ambiguity = correlative_match(
-            field, center, scan, state.point_mask[j],
-            jnp.asarray(poses[j]), params)
-        matched = np.asarray(matched)
-        score = float(score)
+        matched = matched_b[b]
+        score = float(score_b[b])
         drift = np.array([matched[0] - poses[j, 0], matched[1] - poses[j, 1],
                           _wrap(matched[2] - poses[j, 2])])
         if score < min_score:
             continue
         # reject aliased matches (a second, nearly-as-good alignment exists
         # elsewhere — typically a parallel wall)
-        if float(ambiguity) > max_ambiguity:
+        if float(ambiguity_b[b]) > max_ambiguity:
             continue
         if np.linalg.norm(drift[:2]) < min_drift and abs(drift[2]) < 0.02:
             continue
@@ -140,26 +179,18 @@ def propose_corrections(
         sigma = float(np.sqrt(max(np.trace(cov_xy), 0.0)))
         if np.linalg.norm(drift[:2]) > drift_sigma_gate * sigma + 0.3:
             continue
-
-        # --- segments on both epochs ---------------------------------------
-        key, k1, k2 = jax.random.split(key, 3)
-        rp = RansacParams(num_segments=8, min_inliers=10, min_length=0.8)
-        seg_a = extract_segments(jnp.asarray(anchor_pts),
-                                 jnp.ones(len(anchor_pts), bool), k1, rp)
-        # pose j's scan placed at the MATCHED pose (where it should be)
-        c, s = np.cos(matched[2]), np.sin(matched[2])
-        R_new = np.array([[c, -s], [s, c]])
-        scan_np = np.asarray(state.points[j])[np.asarray(state.point_mask[j])]
-        scan_matched = scan_np @ R_new.T + matched[:2]
-        if len(scan_matched) < 30:
+        if int(scan_mask_np[b].sum()) < 30:
             continue
-        seg_c = extract_segments(jnp.asarray(scan_matched.astype(np.float32)),
-                                 jnp.ones(len(scan_matched), bool), k2, rp)
+        anchor_pts = a_pts_np[b][a_mask_np[b]]
+        seg_a = jax.tree_util.tree_map(lambda a, b_=b: a[b_], seg_a_b)
+        seg_c = jax.tree_util.tree_map(lambda a, b_=b: a[b_], seg_c_b)
 
         pair = _best_segment_pair(seg_a, seg_c)
         if pair is None:
             continue
         (a0, a1), (m0, m1) = pair
+        c, s = np.cos(matched[2]), np.sin(matched[2])
+        R_new = np.array([[c, -s], [s, c]])
 
         # map the corrected-side segment back onto the CURRENT rendering:
         # current = T_old . T_new^-1 . matched_endpoint
