@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test-mode", action="store_true",
                    help="GUI stress mode: stream synthetic draw-lists "
                         "(reference: vector_display --test-mode)")
+    p.add_argument("--auto-repair", type=int, default=0, metavar="N",
+                   help="headless auto-repair: up to N rounds of "
+                        "propose-and-apply loop-closure corrections "
+                        "(batched correlative matcher), no human input")
     p.add_argument("--post-optimize", action="store_true",
                    help="run the STF correspondence refinement after the "
                         "replay (the reference's dormant "
@@ -173,6 +177,36 @@ def main(argv=None) -> int:
         sys.exit(0)
 
     signal.signal(signal.SIGINT, handle_sigint)
+
+    if args.auto_repair > 0:
+        # fully-headless repair: rounds of {batched proposals -> apply all}
+        # until a round yields nothing (or the round budget is spent).
+        # The applied corrections land in the input history, so the session
+        # is replayable/loggable exactly like a human one.
+        t_start = time.perf_counter()
+        applied = 0
+        for rnd in range(args.auto_repair):
+            props = engine.propose_corrections(max_proposals=4, seed=rnd)
+            if not props:
+                print(f"[round {rnd}] no proposals; stopping")
+                break
+            for p in props:
+                rep = engine.replay_log(p.input, record=True)
+                status = "ok" if rep.accepted else f"rejected: {rep.reason}"
+                applied += int(rep.accepted)
+                print(f"[round {rnd}] ({p.anchor_pose},{p.corrected_pose}) "
+                      f"score={p.score:.2f} "
+                      f"drift={np.linalg.norm(p.drift[:2]):.2f}m: {status}")
+        total = time.perf_counter() - t_start
+        print(f"auto-repair: {applied} corrections applied in {total:.2f} s")
+        if args.post_optimize:
+            rep = engine.post_optimize()
+            print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
+                  f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g}")
+        save_results()
+        write_info_mat()
+        render()
+        return 0
 
     if args.replay_all:
         t_start = time.perf_counter()

@@ -246,12 +246,18 @@ class HitLSLAM:
         self.reset_correction_inputs()
         return report
 
-    def replay_log(self, logged: SingleInput) -> CycleReport:
-        """Re-execute one logged correction (HitLSLAM::replayLog)."""
+    def replay_log(self, logged: SingleInput,
+                   record: bool = False) -> CycleReport:
+        """Re-execute one logged correction (HitLSLAM::replayLog).
+
+        `record=True` appends the input to the session history (used by the
+        headless auto-repair loop so machine corrections are loggable and
+        replayable exactly like human ones; plain log replay keeps the
+        reference semantics of NOT re-recording)."""
         report = self._cycle(
             logged.correction_type,
             np.asarray(logged.points, np.float32),
-            record_history=False,
+            record_history=record,
         )
         self.reset_correction_inputs()
         return report
