@@ -190,13 +190,20 @@ def main(argv=None) -> int:
             if not props:
                 print(f"[round {rnd}] no proposals; stopping")
                 break
-            for p in props:
+            for i, p in enumerate(props):
                 rep = engine.replay_log(p.input, record=True)
                 status = "ok" if rep.accepted else f"rejected: {rep.reason}"
                 applied += int(rep.accepted)
                 print(f"[round {rnd}] ({p.anchor_pose},{p.corrected_pose}) "
                       f"score={p.score:.2f} "
                       f"drift={np.linalg.norm(p.drift[:2]):.2f}m: {status}")
+                if rep.accepted and i + 1 < len(props):
+                    # an accepted correction moves poses, so the remaining
+                    # proposals (computed from the pre-round state) are
+                    # stale — drop them and re-propose next round (ADVICE
+                    # r2; the 0.05 m verification gate alone shouldn't be
+                    # the only defense against drifted selections)
+                    break
         total = time.perf_counter() - t_start
         print(f"auto-repair: {applied} corrections applied in {total:.2f} s")
         if args.post_optimize:

@@ -208,10 +208,21 @@ def localize_and_save(
                         point_clouds, normal_clouds)
     opts = options or EnmlOptions()
     if parallel_windows:
-        from .parallel_localizer import checkerboard_localize
+        from .parallel_localizer import (
+            BRUTE_MATCH_LIMIT, checkerboard_localize, probe_match_capacity)
 
         new_poses, covs = checkerboard_localize(
             st.points, st.normals, st.point_mask, st.poses, opts)
+        W = min(opts.max_history, st.num_poses)
+        if W * st.points.shape[1] > BRUTE_MATCH_LIMIT:
+            # surface grid-matcher capacity violations on new datasets
+            # (ADVICE r2) — zero on all shipped configs
+            dropped = int(probe_match_capacity(
+                st.points, st.normals, st.point_mask, new_poses, opts))
+            if dropped:
+                print(f"WARNING: grid matcher dropped {dropped} points "
+                      f"(per-cell/occupied-cell capacity) — results may "
+                      f"miss correspondences on this map density")
     else:
         new_poses, covs = batch_localize(
             st.points, st.normals, st.point_mask, st.poses, opts)

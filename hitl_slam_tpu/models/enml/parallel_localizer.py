@@ -82,10 +82,22 @@ def _gather_windows(arr: Array, starts: Array, W: int, fill_clamp: int):
     return arr[jnp.clip(idx, 0, fill_clamp)], idx
 
 
+def _grid_capacities(W: int, N: int) -> tuple[int, int]:
+    """(bucket, max_cells) for the window grid matcher.
+
+    Sized from measured per-window occupancy (figure8 W=80: <=887 occupied
+    cells, max occupancy 107 — bucket 64 density-caps the over-observed
+    cells, matching the reference's own max_correspondences_per_point clamp
+    in spirit). Violations on denser datasets surface via
+    probe_match_capacity, not silently."""
+    return 64, max(1024, min(4096, W * N // 16))
+
+
 def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
     """Grid-hash window matcher with the same (tgt, valid) contract as the
     brute matcher; used when W*N exceeds BRUTE_MATCH_LIMIT."""
     pose_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
+    bucket, max_cells = _grid_capacities(W, N)
 
     def match(poses):
         q = poses[pose_of]
@@ -93,17 +105,52 @@ def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
         nw = rotate(q[:, 2], flat_nrm).reshape(W, N, 2)
         import math
 
-        # capacities from measured per-window occupancy (figure8 W=80:
-        # <=887 occupied cells, max occupancy 107 — bucket 64 density-caps
-        # the over-observed cells, matching the reference's own
-        # max_correspondences_per_point clamp in spirit)
         m = grid_match(pw, nw, flat_mask.reshape(W, N),
                        threshold=o.point_match_threshold,
                        min_cos=math.cos(o.max_stf_angle_error),
-                       bucket=64, max_cells=max(1024, min(4096, W * N // 16)))
+                       bucket=bucket, max_cells=max_cells)
         return m.target, m.valid
 
     return match
+
+
+@partial(jax.jit, static_argnames=("options", "W"))
+def probe_match_capacity(
+    points: Array,         # [P, N, 2] robot frame
+    normals: Array,        # [P, N, 2]
+    point_mask: Array,     # [P, N]
+    poses: Array,          # [P, 3]
+    options: EnmlOptions = EnmlOptions(),
+    W: int | None = None,
+) -> Array:
+    """Total grid_match-dropped points over the even window tiling at the
+    EXACT capacities checkerboard_localize's matcher uses (ADVICE r2:
+    capacity violations on new datasets must be detectable, not silent).
+
+    Returns a scalar int32; 0 means every in-mask point was binned and
+    matched exactly within its 3x3 neighborhood on this dataset."""
+    import math
+
+    o = options
+    P, N, _ = points.shape
+    W = min(o.max_history, P) if W is None else W
+    bucket, max_cells = _grid_capacities(W, N)
+    n_win = -(-P // W)
+    starts = W * jnp.arange(n_win)
+
+    def one(start):
+        idx = jnp.clip(start + jnp.arange(W), 0, P - 1)
+        active = (start + jnp.arange(W)) < P
+        q = poses[idx]
+        pw = rotate(q[:, 2, None], points[idx]) + q[:, None, :2]
+        nw = rotate(q[:, 2, None], normals[idx])
+        m = grid_match(pw, nw, point_mask[idx] & active[:, None],
+                       threshold=o.point_match_threshold,
+                       min_cos=math.cos(o.max_stf_angle_error),
+                       bucket=bucket, max_cells=max_cells)
+        return m.dropped
+
+    return jnp.sum(jax.lax.map(one, starts))
 
 
 @partial(jax.jit,

@@ -35,6 +35,9 @@ Deviations (documented):
   - capacity clamps: points beyond `bucket` per cell or `max_cells` occupied
     cells are dropped from matching (counted in Matches.dropped; zero on all
     shipped configs — Figure8 max occupancy is ~45 at the 0.15 m cell).
+    Points beyond the grid span (~2.4 km from origin at the 0.15 m cell) are
+    likewise masked out and counted in Matches.dropped rather than aliased
+    into border cells.
 """
 
 from __future__ import annotations
@@ -113,11 +116,18 @@ def grid_match(
     # the 0.15 m reference threshold)
     OFF, SPAN = 1 << 14, 1 << 15
     inv_h = 1.0 / threshold
-    ix = jnp.clip(jnp.floor(pts[:, 0] * inv_h).astype(jnp.int32) + OFF,
-                  0, SPAN - 1)
-    iy = jnp.clip(jnp.floor(pts[:, 1] * inv_h).astype(jnp.int32) + OFF,
-                  0, SPAN - 1)
-    key = jnp.where(fmask, ix * SPAN + iy, INT_MAX)   # masked -> end
+    fx = jnp.floor(pts[:, 0] * inv_h)
+    fy = jnp.floor(pts[:, 1] * inv_h)
+    # coordinates beyond the grid span (|coord| >~ 16384*threshold, 2.4 km at
+    # the 0.15 m reference cell) are MASKED OUT and counted in dropped —
+    # clipping them into border cells would alias far-apart points into
+    # spurious cross-pose matches (range-checked in float: an out-of-range
+    # float->int32 cast is unspecified)
+    in_range = (fx >= -OFF) & (fx < SPAN - OFF) & (fy >= -OFF) & (fy < SPAN - OFF)
+    binnable = fmask & in_range
+    ix = jnp.where(in_range, fx, 0.0).astype(jnp.int32) + OFF
+    iy = jnp.where(in_range, fy, 0.0).astype(jnp.int32) + OFF
+    key = jnp.where(binnable, ix * SPAN + iy, INT_MAX)   # masked -> end
 
     # pre-shuffle so the per-cell capacity cap (rank < bucket) keeps an
     # unbiased pseudo-random sample instead of the lowest pose ids (the
@@ -137,7 +147,8 @@ def grid_match(
     # rejected rows get DISTINCT dump slots — colliding scatter writes
     # serialize on this TPU, a collision-free scatter is one parallel pass
     slot = jnp.where(slot_ok, cid * bucket + rank, max_cells * bucket + pos)
-    dropped = jnp.sum(is_real & ~slot_ok).astype(jnp.int32)
+    dropped = (jnp.sum(is_real & ~slot_ok)
+               + jnp.sum(fmask & ~in_range)).astype(jnp.int32)
 
     # all channels in one row: x, y, nx, ny, pose, flat idx, occupied
     chan = jnp.concatenate([

@@ -152,6 +152,37 @@ def _stf_scalar_products(stf: C.STFFactors, poses: Array):
     return X0cat, X1cat, X2, rr0 * rr0 + rr1 * rr1
 
 
+def _segmented_pair_sums(X: Array, run_start: Array, block: int = 512) -> Array:
+    """Per-run inclusive sums sum(X[run_start[i]..i]) for every row i, via a
+    TWO-LEVEL blocked cumsum.
+
+    A single global cumsum difference cs[i]-cs[run_start-1] carries the error
+    of the GLOBAL prefix magnitude (sum over all factors, ~1e6 with typical
+    STF weights) — small late pairs can lose several f32 digits. Blocking
+    resets the accumulator every `block` rows: within-block runs difference
+    only local prefixes (error ~block*eps of LOCAL magnitude); runs straddling
+    one boundary add two local partials and an exactly-zero middle; only runs
+    spanning >=3 blocks touch the block-level prefix, and those runs' own sums
+    are comparable to the blocks they span."""
+    Cn, K = X.shape
+    nb = -(-Cn // block)
+    pad = nb * block - Cn
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    lcs = jnp.cumsum(Xp.reshape(nb, block, K), axis=1)      # [nb, block, K]
+    btot = lcs[:, -1, :]                                    # [nb, K]
+    off = jnp.cumsum(btot, axis=0) - btot                   # exclusive prefix
+    lcs_f = lcs.reshape(nb * block, K)[:Cn]
+    pos = jnp.arange(Cn, dtype=jnp.int32)
+    a = run_start - 1                                       # exclusive lower
+    bi = pos // block
+    ba = jnp.where(a >= 0, a // block, -1)
+    Ea = jnp.where((a >= 0)[:, None], lcs_f[jnp.maximum(a, 0)], 0.0)
+    tail = jnp.where((ba >= 0)[:, None],
+                     btot[jnp.maximum(ba, 0)] - Ea, 0.0)
+    mid = off[bi] - off[jnp.clip(ba + 1, 0, nb - 1)]        # 0 when adjacent
+    return jnp.where((ba == bi)[:, None], lcs_f - Ea, tail + mid + lcs_f)
+
+
 def assemble_dense(
     problem,
     stf: C.STFFactors,
@@ -172,12 +203,10 @@ def assemble_dense(
 
     With `pair_runs` (= (run_last, run_start) from sort_factors_by_pair;
     requires `stf` pair-sorted), even that one scatter becomes
-    collision-free: per-pair block sums come from a cumsum over the sorted
-    factor axis + a run-start gather, and only the last row of each pair
-    run scatters its block (unique targets; non-last rows dropped via OOB
-    indices). Precision note: the cumsum-difference reassociates the f32
-    sum over each run against a running prefix — relative error
-    ~C*eps vs the direct sum, harmless under LM's gain-ratio guard."""
+    collision-free: per-pair block sums come from a blocked segmented cumsum
+    (_segmented_pair_sums — error stays LOCAL to each run, not the global
+    prefix magnitude) and only the last row of each pair run scatters its
+    block (unique targets; non-last rows dropped via OOB indices)."""
     P = poses.shape[0]
     n = 3 * P
     dtype = poses.dtype
@@ -205,10 +234,7 @@ def assemble_dense(
         H = H.at[rows, cols].add(D_stf)        # unique indices
         if pair_runs is not None:
             run_last, run_start = pair_runs
-            cs = jnp.cumsum(X2, axis=0)
-            prev = jnp.where((run_start > 0)[:, None],
-                             cs[jnp.maximum(run_start - 1, 0)], 0.0)
-            blocks = (cs - prev).reshape(Cn, 3, 3)
+            blocks = _segmented_pair_sums(X2, run_start).reshape(Cn, 3, 3)
             bi = jnp.where(run_last, stf.pose0, P)   # P -> OOB row, dropped
             rows_o = (3 * bi)[:, None, None] + r3[None, :, None]
             cols_o = (3 * stf.pose1)[:, None, None] + r3[None, None, :]

@@ -216,3 +216,23 @@ def test_checkerboard_grid_matcher_path(small_episode_state):
     assert np.isfinite(pg).all()
     # grid matcher finds (nearly) the same NNs as the brute matcher
     assert np.abs(pb - pg).max() < 0.05, np.abs(pb - pg).max()
+
+
+def test_checkerboard_match_capacity_probe(small_episode_state):
+    """probe_match_capacity surfaces grid-matcher capacity violations
+    (ADVICE r2): zero dropped on the shipped config-scale windows."""
+    import jax.numpy as jnp
+
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions
+    from hitl_slam_tpu.models.enml.parallel_localizer import (
+        probe_match_capacity)
+
+    st, poses0, pcs = small_episode_state
+    o = EnmlOptions(gn_iterations=1, match_rounds=1)
+    assert int(probe_match_capacity(
+        st.points, st.normals, st.point_mask, st.poses, o)) == 0
+    # a pathological density (every point in one cell) must be DETECTED:
+    # collapse all points to the origin
+    dense = jnp.zeros_like(st.points)
+    assert int(probe_match_capacity(
+        dense, st.normals, st.point_mask, st.poses, o)) > 0

@@ -74,6 +74,61 @@ def test_grid_match_density_cap_counts_dropped(rng):
         assert np.sum((flat[t[i]] - flat[i]) ** 2) < 0.15**2
 
 
+def test_grid_match_out_of_span_points_masked(rng):
+    """Points beyond the grid span (~2.4 km at the 0.15 m cell) are dropped
+    and counted, NOT aliased into border cells (ADVICE r2)."""
+    n = 8
+    pts = np.zeros((2, n, 2), np.float32)
+    pts[0, :, 0] = np.linspace(0, 0.5, n)
+    # far-out points that would alias into the same border cell if clipped
+    pts[1, :, 0] = 3000.0 + np.linspace(0, 0.01, n)
+    pts[1, :2, 0] = -5000.0
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (2, n, 1))
+    mask = np.ones((2, n), bool)
+    m = C.grid_match(jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(mask),
+                     threshold=0.15)
+    assert int(m.dropped) == n          # all of pose 1 is out of span
+    assert not np.any(np.asarray(m.valid))   # no spurious cross-pose matches
+
+
+def test_segmented_pair_sums_large_capacity_precision(rng):
+    """The blocked segmented cumsum keeps per-run error LOCAL: at the full
+    65536-row capacity with realistic STF-product magnitudes, small late
+    runs must not lose digits to the global prefix (ADVICE r2 — the plain
+    cumsum-difference loses ~global_magnitude*eps)."""
+    from hitl_slam_tpu.solver.stf_solve import _segmented_pair_sums
+
+    Cn = 65536
+    # realistic magnitudes: STF weights ~ (1/40/0.05)/sqrt(n) ~ 0.5,
+    # products ~ 0.25; all-positive worst case grows the global prefix
+    X = rng.uniform(0.1, 0.5, (Cn, 9)).astype(np.float32)
+    # run structure: mostly medium runs, with tiny 2-row runs at the tail
+    # (the dangerous case: small pair sums against a ~16k global prefix)
+    bounds = [0]
+    i = 0
+    while i < Cn - 256:
+        i += int(rng.integers(8, 200))
+        bounds.append(min(i, Cn - 256))
+    i = Cn - 256
+    while i < Cn:
+        bounds.append(i)
+        i += 2
+    bounds = np.unique(np.asarray(bounds + [Cn]))
+    run_start = np.zeros(Cn, np.int32)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        run_start[s:e] = s
+    got = np.asarray(_segmented_pair_sums(
+        jnp.asarray(X), jnp.asarray(run_start)))
+    cs64 = np.cumsum(X.astype(np.float64), axis=0)
+    pos = np.arange(Cn)
+    a = run_start - 1
+    want = cs64[pos] - np.where((a >= 0)[:, None], cs64[np.maximum(a, 0)], 0)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
+    # small late runs: magnitude ~0.5, global prefix ~16k -> plain cumsum
+    # error would be ~16k*eps/0.5 ~ 4e-3 relative; blocked stays ~1e-5
+    assert float(rel.max()) < 5e-4, float(rel.max())
+
+
 def test_stf_jacobians_match_autodiff(rng):
     world, normals, mask = _two_pose_cloud(rng)
     poses = jnp.asarray(
