@@ -38,10 +38,20 @@ def build_parser():
                    help="run N noisy trials and save per-trial poses")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-history", type=int, default=10)
-    p.add_argument("--config", default=None,
-                   help="TOML/JSON config; the [NonMarkovLocalization] table "
-                        "uses the reference's parameter names "
-                        "(config/non_markov_localization.cfg)")
+    p.add_argument("--config", action="append", default=None,
+                   help="config file (repeatable, evaluated in order): the "
+                        "reference's executable Lua .cfg files load "
+                        "UNMODIFIED (common.cfg, robot.cfg, "
+                        "non_markov_localization.cfg — domain/robot "
+                        "override blocks honored), or a TOML/JSON mirror; "
+                        "the NonMarkovLocalization table uses the "
+                        "reference's parameter names")
+    p.add_argument("--domain", default=None,
+                   help="force enml_domain for the Lua config's domain "
+                        "override blocks (cobot / freiburg / orebro)")
+    p.add_argument("--robot", default=None,
+                   help="force RobotConfig.name for the Lua config's "
+                        "per-robot override blocks (e.g. Cobot3)")
     p.add_argument("--parallel-windows", action="store_true",
                    help="checkerboard-parallel window solver (batched "
                         "red/black windows instead of the sequential sweep)")
@@ -99,25 +109,50 @@ def main(argv=None) -> int:
     scans, angles, rel = _load_stream(args)
     print(f"stream: {len(scans)} scans x {len(angles)} beams")
     opts = EnmlOptions(max_history=args.max_history)
+    ep_opts = EpisodeOptions(clip_low=10, clip_high=10)
     if args.config:
         import dataclasses
 
+        from .models.enml.driver import options_from_table
         from .utils.config import load_config
 
-        cfg = load_config(args.config)
+        overrides = {}
+        if args.domain:
+            overrides["enml_domain"] = args.domain
+        if args.robot:
+            overrides["RobotConfig.name"] = args.robot
+        cfg: dict = {}
+        for path in args.config:
+            try:
+                part = load_config(path, overrides or None)
+            except (OSError, ValueError) as e:
+                raise SystemExit(f"ERROR: cannot load config {path}: {e}")
+            for k, v in part.items():
+                if isinstance(v, dict) and isinstance(cfg.get(k), dict):
+                    cfg[k].update(v)
+                else:
+                    cfg[k] = v
         table = cfg.get("NonMarkovLocalization", cfg)
-        fields = {f.name for f in dataclasses.fields(EnmlOptions)}
-        overrides = {k: v for k, v in table.items() if k in fields}
-        opts = dataclasses.replace(opts, **overrides)
-        unknown = sorted(set(table) - fields)
-        if unknown:
-            print(f"config: ignoring unknown keys {unknown}")
-        print(f"config: {overrides}")
+        if not isinstance(table, dict) or not table:
+            raise SystemExit(
+                "ERROR: config has no NonMarkovLocalization table")
+        opts, ep_cfg = options_from_table(table)
+        # keep the CLI's beam clipping (synthetic/test streams are
+        # full-FOV; the reference clips via num_skip_readings instead)
+        ep_opts = dataclasses.replace(ep_cfg, clip_low=ep_opts.clip_low,
+                                      clip_high=ep_opts.clip_high)
+        dom = cfg.get("enml_domain")
+        print(f"config: domain={dom!r} map={table.get('map_name')!r} "
+              f"match_threshold={opts.point_match_threshold} "
+              f"max_history={opts.max_history} "
+              f"gn_iterations={opts.gn_iterations}")
+    elif args.domain or args.robot:
+        raise SystemExit("ERROR: --domain/--robot require --config")
 
     def run_once(rel_odom, tag=""):
         t0 = time.perf_counter()
         poses, pcs, ncs, rels = build_episodes(
-            scans, angles, rel_odom, EpisodeOptions(clip_low=10, clip_high=10))
+            scans, angles, rel_odom, ep_opts)
         new_poses, covs = localize_and_save(
             poses, pcs, ncs, args.output + tag, map_name=args.map_name,
             options=opts, parallel_windows=args.parallel_windows)

@@ -44,6 +44,55 @@ class EpisodeOptions:
     sensor_offset: tuple = (0.0, 0.0)
 
 
+def options_from_table(table: dict):
+    """(EnmlOptions, EpisodeOptions) from a resolved NonMarkovLocalization
+    parameter table (reference names, config/non_markov_localization.cfg —
+    the table may come from the Lua interpreter with domain/robot blocks
+    already applied, or from a TOML mirror).
+
+    Name translations (documented deviations):
+      - min_rotation/min_translation -> minimum_node_rotation/_translation
+        (AddPose gating, vector_mapping_main.cpp:1120-1140); the orebro
+        domain's -1 sentinels mean "no gating" -> 0.0
+      - max_solver_iterations -> gn_iterations (Ceres iteration budget ->
+        GN sweep budget)
+      - num_repeat_iterations -> match_rounds (re-match + re-solve rounds)
+      - robot_laser_offset {x,y} -> sensor_offset tuple
+    Unknown keys are ignored (the reference carries many dormant-subsystem
+    parameters: visibility/object constraints, LTF map params)."""
+    import dataclasses
+
+    from .localizer import EnmlOptions
+
+    eo_fields = {f.name for f in dataclasses.fields(EnmlOptions)}
+    ep_fields = {f.name for f in dataclasses.fields(EpisodeOptions)}
+    eo_kw = {k: v for k, v in table.items() if k in eo_fields}
+    ep_kw = {k: v for k, v in table.items() if k in ep_fields}
+    if "max_solver_iterations" in table:
+        eo_kw["gn_iterations"] = int(table["max_solver_iterations"])
+    if "num_repeat_iterations" in table:
+        eo_kw["match_rounds"] = max(1, int(table["num_repeat_iterations"]))
+    if "odometry_rotation_min_stddev" in table:
+        eo_kw["odometry_angular_min_stddev"] = float(
+            table["odometry_rotation_min_stddev"])
+    if "odometry_rotation_max_stddev" in table:
+        eo_kw["odometry_angular_max_stddev"] = float(
+            table["odometry_rotation_max_stddev"])
+    if "min_translation" in table:
+        ep_kw["minimum_node_translation"] = max(
+            0.0, float(table["min_translation"]))
+    if "min_rotation" in table:
+        ep_kw["minimum_node_rotation"] = max(
+            0.0, float(table["min_rotation"]))
+    off = table.get("robot_laser_offset")
+    if isinstance(off, dict):
+        ep_kw["sensor_offset"] = (float(off.get("x", 0.0)),
+                                  float(off.get("y", 0.0)))
+    elif isinstance(off, (list, tuple)):
+        ep_kw["sensor_offset"] = (float(off[0]), float(off[1]))
+    return EnmlOptions(**eo_kw), EpisodeOptions(**ep_kw)
+
+
 def _rot(th):
     c, s = np.cos(th), np.sin(th)
     return np.array([[c, -s], [s, c]])

@@ -18,15 +18,32 @@ import time
 from typing import Any, Callable
 
 
-def load_config(path: str) -> dict:
+def load_config(path: str, overrides: dict | None = None) -> dict:
+    """Load a single config file: JSON, TOML, or a reference-style Lua .cfg
+    (executable configs with domain/robot override blocks — see
+    utils/luaconfig). `overrides` applies to Lua configs only (locked
+    top-level names / dotted field re-assertions, e.g.
+    {"enml_domain": "freiburg"})."""
     if path.endswith(".json"):
         with open(path) as f:
             return json.load(f)
-    if path.endswith(".toml") or path.endswith(".cfg"):
+    if path.endswith(".toml"):
         import tomllib
 
         with open(path, "rb") as f:
             return tomllib.load(f)
+    if path.endswith(".cfg") or path.endswith(".lua"):
+        # the reference's .cfg files are Lua; a .cfg that parses as TOML
+        # (the pre-round-3 convention here) stays supported
+        import tomllib
+
+        try:
+            with open(path, "rb") as f:
+                return tomllib.load(f)
+        except (tomllib.TOMLDecodeError, UnicodeDecodeError):
+            from .luaconfig import load_lua_config
+
+            return load_lua_config(path, overrides)
     raise ValueError(f"unsupported config format: {path}")
 
 
