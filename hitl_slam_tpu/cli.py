@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -46,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map", default=None,
                    help="vector map file for GUI edit mode (add/delete/save "
                         "line segments over the bridge)")
+    p.add_argument("--nav-map", default=None,
+                   help="navigation graph file for GUI graph-edit mode "
+                        "(editGraph navMapMode analog: Shift adds "
+                        "vertices/edges, Ctrl deletes, Alt moves, "
+                        "Ctrl+Alt edits params)")
+    p.add_argument("--semantic-map", default=None,
+                   help="semantic graph file for GUI graph-edit mode "
+                        "(editGraph semanticMapMode analog: typed/labeled "
+                        "vertices and edges)")
     p.add_argument("--test-mode", action="store_true",
                    help="GUI stress mode: stream synthetic draw-lists "
                         "(reference: vector_display --test-mode)")
@@ -176,7 +186,8 @@ def main(argv=None) -> int:
         print("Terminating.")
         sys.exit(0)
 
-    signal.signal(signal.SIGINT, handle_sigint)
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGINT, handle_sigint)
 
     if args.auto_repair > 0:
         # fully-headless repair: rounds of {batched proposals -> apply all}
@@ -258,6 +269,12 @@ def main(argv=None) -> int:
             from .gui.map_edit import VectorMapFile
 
             vmap = VectorMapFile(args.map)
+        graph = None
+        if args.nav_map or args.semantic_map:
+            from .gui.graph_edit import GraphMap
+
+            graph = GraphMap(args.semantic_map or args.nav_map,
+                             semantic=bool(args.semantic_map))
 
         def publish():
             dl = display_poses(engine.state)
@@ -271,6 +288,8 @@ def main(argv=None) -> int:
                                                1))
             if vmap is not None:
                 vmap.to_drawlist(dl)
+            if graph is not None:
+                graph.to_drawlist(dl)
             server.publish(dl)
 
         def on_map_edit(msg):
@@ -279,6 +298,14 @@ def main(argv=None) -> int:
             from .gui.map_edit import handle_map_edit
 
             if handle_map_edit(vmap, msg):
+                publish()
+
+        def on_graph_edit(msg):
+            if graph is None:
+                return
+            from .gui.graph_edit import handle_graph_edit
+
+            if handle_graph_edit(graph, msg):
                 publish()
 
         def on_click(ev):
@@ -335,6 +362,7 @@ def main(argv=None) -> int:
         server.on_keyboard = on_key
         server.on_capture = on_capture
         server.on_map_edit = on_map_edit
+        server.on_graph_edit = on_graph_edit
         server.start()
         publish()
         print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "

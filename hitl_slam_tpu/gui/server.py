@@ -36,6 +36,8 @@ class GuiServer:
         self.on_capture: Callable[[str], None] | None = None
         # vector-map editing (VectorDisplayThread edit modes analog)
         self.on_map_edit: Callable[[dict], None] | None = None
+        # nav/semantic graph editing (editGraph modes analog)
+        self.on_graph_edit: Callable[[dict], None] | None = None
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
@@ -63,6 +65,9 @@ class GuiServer:
                 elif (isinstance(ev, dict) and ev.get("type") == "map_edit"
                       and self.on_map_edit):
                     await asyncio.to_thread(self.on_map_edit, ev)
+                elif (isinstance(ev, dict) and ev.get("type") == "graph_edit"
+                      and self.on_graph_edit):
+                    await asyncio.to_thread(self.on_graph_edit, ev)
         finally:
             self.clients.discard(ws)
 
