@@ -20,14 +20,22 @@ ROS common_msgs):
 `bag_to_stream` mirrors the reference's odometry bookkeeping: standardized
 nav_msgs/Odometry is differenced against the pose at the previous laser node
 (vector_mapping_main.cpp:1216-1236); CobotOdometryMsg deltas accumulate in
-the running relative frame (:1256-1263). The writer emits spec-conforming
-uncompressed bags (used by tests and by the synthetic-stream exporter).
+the running relative frame (:1256-1263). The writer emits spec-complete
+bags with the real rosbag record layout (per-chunk connection records,
+INDEX_DATA after each chunk, trailing connection + CHUNK_INFO index section,
+index_pos back-patched; none/bz2/mixed chunk compression, chunk splitting).
+
+Robustness (real-world quirks, adversarially tested in test_rosbag.py):
+truncated tails stop cleanly with a warning; corrupt bz2 chunks, malformed
+records, zero-beam or beam-count-changing scans are counted and skipped;
+multiple connections per topic and unknown record ops are handled.
 """
 
 from __future__ import annotations
 
 import bz2
 import struct
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -66,18 +74,31 @@ def _parse_header(buf: bytes) -> dict:
     return fields
 
 
-def _iter_records(buf: bytes, off: int = 0):
+def _iter_records(buf: bytes, off: int = 0, where: str = "bag"):
+    """Yield (header, data) records; a TRUNCATED tail (crash-cut bag, the
+    most common real-world quirk — rosbag ships a reindex tool for exactly
+    this) stops iteration cleanly with a warning instead of raising."""
     n = len(buf)
     while off + 4 <= n:
         (hlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + hlen + 4 > n:
+            warnings.warn(f"truncated record header in {where} "
+                          f"(offset {off - 4}/{n}); stopping")
+            return
         header = _parse_header(buf[off:off + hlen])
         off += hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + dlen > n:
+            warnings.warn(f"truncated record data in {where} "
+                          f"(offset {off - 4}/{n}); stopping")
+            return
         data = buf[off:off + dlen]
         off += dlen
         yield header, data
+    if off != n and n - off >= 1:
+        warnings.warn(f"{n - off} trailing bytes in {where} ignored")
 
 
 @dataclass
@@ -97,36 +118,58 @@ def read_messages(path: str):
             f"not a ROS bag v2.0 file: {path!r} (bad version line)")
     conns: dict[int, tuple[str, str]] = {}
 
+    def op_of(header) -> int:
+        op = header.get("op", b"")
+        return op[0] if op else -1
+
     def handle(header, data):
-        op = header.get("op", b"\x00")[0]
+        op = op_of(header)
         if op == _OP_CONNECTION:
-            cid = struct.unpack("<I", header["conn"])[0]
-            topic = header.get("topic", b"").decode()
+            # real bags repeat connection records inside every chunk AND in
+            # the trailing index section, and carry multiple connections per
+            # topic (latched/unlatched, remapped original names) — conn ids
+            # are authoritative, topics are display only
+            if "conn" not in header or len(header["conn"]) < 4:
+                warnings.warn("connection record without conn id; skipped")
+                return None
+            cid = struct.unpack("<I", header["conn"][:4])[0]
+            topic = header.get("topic", b"").decode(errors="replace")
             sub = _parse_header(data)
-            msgtype = sub.get("type", b"").decode()
+            msgtype = sub.get("type", b"").decode(errors="replace")
             # the connection data's own 'topic' (original name) wins if set
-            conns[cid] = (topic or sub.get("topic", b"").decode(), msgtype)
+            conns[cid] = (topic or sub.get("topic", b"").decode(
+                errors="replace"), msgtype)
             return None
         if op == _OP_MESSAGE_DATA:
-            cid = struct.unpack("<I", header["conn"])[0]
-            secs, nsecs = struct.unpack("<II", header["time"])
+            if ("conn" not in header or len(header["conn"]) < 4
+                    or "time" not in header or len(header["time"]) < 8):
+                warnings.warn("malformed message record skipped")
+                return None
+            cid = struct.unpack("<I", header["conn"][:4])[0]
+            secs, nsecs = struct.unpack("<II", header["time"][:8])
             topic, msgtype = conns.get(cid, ("?", "?"))
             return BagMessage(topic, msgtype, secs + 1e-9 * nsecs, data)
+        # INDEX_DATA / CHUNK_INFO / BAG_HEADER and unknown future ops are
+        # framing/metadata — skipped (this reader scans chunks directly)
         return None
 
     for header, data in _iter_records(blob, len(VERSION_LINE)):
-        op = header.get("op", b"\x00")[0]
+        op = op_of(header)
         if op == _OP_CHUNK:
-            comp = header.get("compression", b"none").decode()
+            comp = header.get("compression", b"none").decode(errors="replace")
             if comp == "none":
                 payload = data
             elif comp == "bz2":
-                payload = bz2.decompress(data)
+                try:
+                    payload = bz2.decompress(data)
+                except OSError as e:
+                    warnings.warn(f"corrupt bz2 chunk skipped ({e})")
+                    continue
             else:
                 raise ValueError(
                     f"unsupported chunk compression {comp!r} "
                     "(only none/bz2; re-record or decompress the bag)")
-            for h2, d2 in _iter_records(payload):
+            for h2, d2 in _iter_records(payload, where="chunk"):
                 msg = handle(h2, d2)
                 if msg is not None:
                     yield msg
@@ -217,6 +260,7 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
     rel_loc = np.zeros(2, np.float64)
     rel_ang = 0.0
 
+    skipped = 0
     for msg in read_messages(path):
         if t0 is None:
             t0 = msg.time
@@ -224,13 +268,25 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
             continue
         if msg.msgtype == "sensor_msgs/LaserScan" and (
                 msg.topic in LASER_TOPICS):
-            scan = parse_laser_scan(msg.raw)
+            try:
+                scan = parse_laser_scan(msg.raw)
+            except (struct.error, ValueError):
+                skipped += 1
+                continue
             if angles is None:
                 n = len(scan["ranges"])
+                if n == 0:
+                    skipped += 1
+                    continue
                 angles = (scan["angle_min"]
                           + scan["angle_increment"] * np.arange(n)).astype(
                               np.float32)
                 meta = scan
+            if len(scan["ranges"]) != len(angles):
+                # out-of-spec bags interleave reconfigured scanners; EnML
+                # needs one static beam layout — keep the first
+                skipped += 1
+                continue
             if cur_abs is not None:
                 # difference absolute odometry against the last laser node
                 if last_abs is None:
@@ -252,19 +308,33 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
                 break
         elif msg.msgtype == "nav_msgs/Odometry" and (
                 msg.topic == ODOM_TOPIC_STD):
-            cur_abs = parse_odometry(msg.raw)
+            try:
+                cur_abs = parse_odometry(msg.raw)
+            except struct.error:
+                skipped += 1
+                continue
             if last_abs is None:
                 last_abs = cur_abs
         elif msg.msgtype == "vector_slam_msgs/CobotOdometryMsg" and (
                 msg.topic == ODOM_TOPIC_COBOT):
-            dr, dx, dy = parse_cobot_odometry(msg.raw)
+            try:
+                dr, dx, dy = parse_cobot_odometry(msg.raw)
+            except struct.error:
+                skipped += 1
+                continue
             c, s = np.cos(rel_ang), np.sin(rel_ang)
             rel_loc += np.array([c * dx - s * dy, s * dx + c * dy])
             rel_ang += dr
         elif msg.msgtype == "vector_slam_msgs/LocalizationMsg" and (
                 msg.topic == SET_LOCATION_TOPIC):
-            set_location = parse_localization(msg.raw)
+            try:
+                set_location = parse_localization(msg.raw)
+            except struct.error:
+                skipped += 1
 
+    if skipped:
+        warnings.warn(f"{skipped} malformed/mismatched messages skipped "
+                      f"in {path!r}")
     if not scans:
         raise ValueError(f"no laser scans found in {path!r} "
                          f"(looked for topics {LASER_TOPICS})")
@@ -334,13 +404,21 @@ def serialize_localization(x, y, angle, map_name=b"map") -> bytes:
             + struct.pack("<3d", x, y, 0.0) + struct.pack("<f", angle))
 
 
-def write_bag(path: str, messages, compression: str = "none") -> None:
+def write_bag(path: str, messages, compression: str = "none",
+              chunk_size: int | None = None) -> None:
     """messages: iterable of (topic, msgtype, time_s, raw_bytes). Writes a
-    v2.0 bag with one chunk (compression none or bz2; no index records —
-    readers that need them re-index; this reader scans chunks directly)."""
-    topics = {}
-    chunk_parts = []
+    spec-complete v2.0 bag with the REAL rosbag record layout: connection
+    records repeated inside each chunk, per-connection INDEX_DATA records
+    after each chunk, and a trailing index section (connections + CHUNK_INFO)
+    pointed to by the bag header's index_pos — the structures real bags
+    carry and adversarial tests exercise.
+
+    compression: "none", "bz2", or "mixed" (alternating per chunk, an
+    out-of-spec-tool quirk seen in the wild). chunk_size: approximate
+    uncompressed bytes per chunk (None = single chunk)."""
     msg_list = list(messages)
+    topics: dict[str, int] = {}
+    conn_records = []
     for topic, msgtype, _t, _raw in msg_list:
         if topic not in topics:
             cid = len(topics)
@@ -349,33 +427,83 @@ def write_bag(path: str, messages, compression: str = "none") -> None:
                          + _field("type", msgtype.encode())
                          + _field("md5sum", b"0" * 32)
                          + _field("message_definition", b""))
-            chunk_parts.append(_record(
+            conn_records.append(_record(
                 {"op": bytes([_OP_CONNECTION]),
                  "conn": struct.pack("<I", cid),
                  "topic": topic.encode()}, conn_data))
-    for topic, _msgtype, t, raw in msg_list:
-        chunk_parts.append(_record(
-            {"op": bytes([_OP_MESSAGE_DATA]),
-             "conn": struct.pack("<I", topics[topic]),
-             "time": _time(t)}, raw))
-    chunk = b"".join(chunk_parts)
-    size = len(chunk)
-    if compression == "bz2":
-        chunk = bz2.compress(chunk)
-    elif compression != "none":
+    if compression not in ("none", "bz2", "mixed"):
         raise ValueError(f"unsupported compression {compression!r}")
 
+    # split messages into chunks of ~chunk_size serialized bytes
+    chunks: list[list[tuple[str, float, bytes]]] = [[]]
+    acc = 0
+    for topic, _mt, t, raw in msg_list:
+        if chunk_size and acc >= chunk_size and chunks[-1]:
+            chunks.append([])
+            acc = 0
+        chunks[-1].append((topic, t, raw))
+        acc += len(raw) + 64
+
+    chunk_infos = []
     with open(path, "wb") as f:
         f.write(VERSION_LINE)
-        # bag header record, padded to 4096 bytes as per spec
         bh_fields = {"op": bytes([_OP_BAG_HEADER]),
                      "index_pos": struct.pack("<Q", 0),
                      "conn_count": struct.pack("<I", len(topics)),
-                     "chunk_count": struct.pack("<I", 1)}
+                     "chunk_count": struct.pack("<I", len(chunks))}
         header = b"".join(_field(k, v) for k, v in bh_fields.items())
         pad = 4096 - 4 - len(header) - 4
         f.write(struct.pack("<I", len(header)) + header
                 + struct.pack("<I", pad) + b" " * pad)
-        f.write(_record(
-            {"op": bytes([_OP_CHUNK]), "compression": compression.encode(),
-             "size": struct.pack("<I", size)}, chunk))
+
+        for k, cmsgs in enumerate(chunks):
+            comp = (compression if compression != "mixed"
+                    else ("bz2" if k % 2 else "none"))
+            # real rosbag repeats the connection records in every chunk
+            parts = list(conn_records)
+            index: dict[int, list[tuple[float, int]]] = {}
+            for topic, t, raw in cmsgs:
+                cid = topics[topic]
+                index.setdefault(cid, []).append((t, sum(map(len, parts))))
+                parts.append(_record(
+                    {"op": bytes([_OP_MESSAGE_DATA]),
+                     "conn": struct.pack("<I", cid),
+                     "time": _time(t)}, raw))
+            payload = b"".join(parts)
+            size = len(payload)
+            blob = bz2.compress(payload) if comp == "bz2" else payload
+            chunk_pos = f.tell()
+            f.write(_record(
+                {"op": bytes([_OP_CHUNK]), "compression": comp.encode(),
+                 "size": struct.pack("<I", size)}, blob))
+            # per-connection INDEX_DATA records follow each chunk
+            for cid, entries in index.items():
+                data = b"".join(_time(t) + struct.pack("<I", off)
+                                for t, off in entries)
+                f.write(_record(
+                    {"op": bytes([_OP_INDEX_DATA]),
+                     "ver": struct.pack("<I", 1),
+                     "conn": struct.pack("<I", cid),
+                     "count": struct.pack("<I", len(entries))}, data))
+            times = [t for _, t, _ in cmsgs] or [0.0]
+            counts = b"".join(struct.pack("<II", cid, len(entries))
+                              for cid, entries in index.items())
+            chunk_infos.append(_record(
+                {"op": bytes([_OP_CHUNK_INFO]),
+                 "ver": struct.pack("<I", 1),
+                 "chunk_pos": struct.pack("<Q", chunk_pos),
+                 "start_time": _time(min(times)),
+                 "end_time": _time(max(times)),
+                 "count": struct.pack("<I", len(index))}, counts))
+
+        # trailing index section: connections + chunk infos
+        index_pos = f.tell()
+        for rec in conn_records:
+            f.write(rec)
+        for rec in chunk_infos:
+            f.write(rec)
+        # back-patch index_pos in the bag header
+        f.seek(len(VERSION_LINE))
+        bh_fields["index_pos"] = struct.pack("<Q", index_pos)
+        header = b"".join(_field(k, v) for k, v in bh_fields.items())
+        f.write(struct.pack("<I", len(header)) + header)

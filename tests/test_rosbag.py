@@ -100,6 +100,123 @@ def test_bag_reader_rejects_garbage(tmp_path):
         list(rb.read_messages(str(p)))
 
 
+def test_bag_multichunk_mixed_compression_with_index(stream, tmp_path):
+    """Real-bag structure: multiple chunks, ALTERNATING none/bz2 chunk
+    compression, per-chunk connection + INDEX_DATA records, and a trailing
+    index section (connections + CHUNK_INFO) with a back-patched index_pos
+    — all must parse identically to the single-chunk bag (VERDICT r2
+    item 1)."""
+    import struct
+
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    ref = str(tmp_path / "ref.bag")
+    rb.write_bag(ref, msgs)
+    path = str(tmp_path / "multi.bag")
+    rb.write_bag(path, msgs, compression="mixed", chunk_size=8192)
+
+    blob = open(path, "rb").read()
+    # the layout really contains the structures we claim
+    ops = [h.get("op", b"\x00")[0]
+           for h, _ in rb._iter_records(blob, len(rb.VERSION_LINE))]
+    assert ops.count(0x05) > 2                      # several chunks
+    assert 0x04 in ops and 0x06 in ops              # index data + chunk info
+    assert ops[-1] == 0x06
+    # index_pos points at the trailing index section
+    hdr, _ = next(rb._iter_records(blob, len(rb.VERSION_LINE)))
+    (index_pos,) = struct.unpack("<Q", hdr["index_pos"])
+    h2, _ = next(rb._iter_records(blob, index_pos))
+    assert h2["op"][0] == 0x07                      # first index record
+
+    a = rb.bag_to_stream(ref)
+    b = rb.bag_to_stream(path)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[2], b[2], atol=1e-7)
+
+
+def test_bag_truncated_tail(stream, tmp_path):
+    """A crash-cut bag (the most common real-world quirk) yields every
+    complete message before the cut, with a warning — no crash."""
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    path = str(tmp_path / "full.bag")
+    rb.write_bag(path, msgs, chunk_size=8192)
+    blob = open(path, "rb").read()
+    cut = str(tmp_path / "cut.bag")
+    # cut inside the LAST chunk's data
+    open(cut, "wb").write(blob[: int(len(blob) * 0.6)])
+    with pytest.warns(UserWarning, match="truncated"):
+        out_scans, _, out_rel, _ = rb.bag_to_stream(cut)
+    full_scans, _, full_rel, _ = rb.bag_to_stream(path)
+    assert 0 < len(out_scans) < len(full_scans)
+    np.testing.assert_array_equal(out_scans,
+                                  full_scans[: len(out_scans)])
+
+
+def test_bag_malformed_records_skipped(stream, tmp_path):
+    """Corrupt bz2 chunk + malformed message/connection records + a scan
+    whose beam count changes mid-bag + an unknown future record op: all
+    skipped with warnings, everything parseable still returned."""
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    inc = float(angles[1] - angles[0])
+    # a beam-count-changing scan and an empty scan injected mid-stream
+    msgs.insert(10, ("laser", "sensor_msgs/LaserScan", 99.9,
+                     rb.serialize_laser_scan(np.ones(7, np.float32),
+                                             float(angles[0]), inc)))
+    msgs.insert(11, ("laser", "sensor_msgs/LaserScan", 99.95,
+                     rb.serialize_laser_scan(np.zeros(0, np.float32),
+                                             float(angles[0]), inc)))
+    path = str(tmp_path / "dirty.bag")
+    rb.write_bag(path, msgs)
+    blob = open(path, "rb").read()
+    # append: a corrupt bz2 chunk, a message record with no conn/time, a
+    # connection record with no conn id, and an unknown op record
+    extra = (
+        rb._record({"op": bytes([0x05]), "compression": b"bz2",
+                    "size": b"\x10\x00\x00\x00"}, b"NOT-BZ2-DATA")
+        + rb._record({"op": bytes([0x02])}, b"orphan")
+        + rb._record({"op": bytes([0x07]), "topic": b"ghost"}, b"")
+        + rb._record({"op": bytes([0x7F]), "future": b"record"}, b"xyz")
+    )
+    open(path, "wb").write(blob + extra)
+    with pytest.warns(UserWarning):
+        out_scans, out_angles, out_rel, _ = rb.bag_to_stream(path)
+    assert out_scans.shape == (len(scans), len(angles))
+    np.testing.assert_allclose(out_rel[1:], rel[1:], atol=1e-4)
+
+
+def test_bag_multiple_connections_per_topic(stream, tmp_path):
+    """Two connection ids publishing the same laser topic (latched +
+    unlatched publishers in real bags): messages from both merge."""
+    import struct
+
+    scans, angles, rel, gt, walls = stream
+    inc = float(angles[1] - angles[0])
+    conn_data = (rb._field("topic", b"laser")
+                 + rb._field("type", b"sensor_msgs/LaserScan")
+                 + rb._field("md5sum", b"0" * 32)
+                 + rb._field("message_definition", b""))
+    parts = []
+    for cid in (0, 1):
+        parts.append(rb._record(
+            {"op": bytes([0x07]), "conn": struct.pack("<I", cid),
+             "topic": b"laser"}, conn_data))
+    for i in range(len(scans)):
+        parts.append(rb._record(
+            {"op": bytes([0x02]), "conn": struct.pack("<I", i % 2),
+             "time": rb._time(100.0 + 0.05 * i)},
+            rb.serialize_laser_scan(scans[i], float(angles[0]), inc)))
+    chunk = b"".join(parts)
+    path = str(tmp_path / "two_conns.bag")
+    with open(path, "wb") as f:
+        f.write(rb.VERSION_LINE)
+        f.write(rb._record({"op": bytes([0x05]), "compression": b"none",
+                            "size": struct.pack("<I", len(chunk))}, chunk))
+    out_scans, _, _, _ = rb.bag_to_stream(path)
+    assert out_scans.shape == (len(scans), len(angles))
+
+
 def test_bag_end_to_end_enml_to_hitl(stream, tmp_path):
     """The VERDICT acceptance path: cli_enml -b file.bag -o out produces a
     .stfs.covars that the HitL CLI loads and repairs."""
