@@ -114,6 +114,33 @@ def _make_match_fn(flat_pts, flat_nrm, flat_mask, W, N, o: EnmlOptions):
     return match
 
 
+def window_covariances(H: Array, active: Array, th: Array) -> Array:
+    """Per-pose 3x3 marginals from a window Hessian: mask inactive rows,
+    regularize, invert, take diagonal blocks, rotate into each pose frame
+    (ceres::Covariance DENSE_SVD + frame rotation semantics,
+    vector_mapping_main.cpp:2772-2812). f32 on device; the f32-vs-f64
+    inversion error is bounded by tests/test_regression.py's measured
+    tolerance (DEVIATIONS #8)."""
+    W = th.shape[0]
+    dtype = H.dtype
+    m3 = jnp.repeat(active, 3)
+    H = jnp.where(m3[:, None] & m3[None, :], H, 0.0)
+    H = H + jnp.diag(jnp.where(m3, 1e-9, 1.0).astype(dtype))
+    cov_full = jnp.linalg.inv(H)
+    blocks = jax.vmap(
+        lambda j: lax.dynamic_slice(cov_full, (3 * j, 3 * j), (3, 3))
+    )(jnp.arange(W))
+    c, s_ = jnp.cos(-th), jnp.sin(-th)
+    zero = jnp.zeros_like(c)
+    one_ = jnp.ones_like(c)
+    T = jnp.stack([
+        jnp.stack([c, -s_, zero], -1),
+        jnp.stack([s_, c, zero], -1),
+        jnp.stack([zero, zero, one_], -1),
+    ], axis=-2)
+    return T @ blocks @ jnp.swapaxes(T, -1, -2)
+
+
 @partial(jax.jit, static_argnames=("options", "W"))
 def probe_match_capacity(
     points: Array,         # [P, N, 2] robot frame
@@ -296,23 +323,7 @@ def checkerboard_localize(
     def run_chunk(chunk_starts):
         def one(s):
             _np_, H, idx, active = solve_one(s, poses, eval_only=True)
-            m3 = jnp.repeat(active, 3)
-            H = jnp.where(m3[:, None] & m3[None, :], H, 0.0)
-            H = H + jnp.diag(jnp.where(m3, 1e-9, 1.0).astype(dtype))
-            cov_full = jnp.linalg.inv(H)
-            blocks = jax.vmap(
-                lambda j: lax.dynamic_slice(cov_full, (3 * j, 3 * j), (3, 3))
-            )(jnp.arange(W))
-            th = _np_[:, 2]
-            c, s_ = jnp.cos(-th), jnp.sin(-th)
-            zero = jnp.zeros_like(c)
-            one_ = jnp.ones_like(c)
-            T = jnp.stack([
-                jnp.stack([c, -s_, zero], -1),
-                jnp.stack([s_, c, zero], -1),
-                jnp.stack([zero, zero, one_], -1),
-            ], axis=-2)
-            covs = T @ blocks @ jnp.swapaxes(T, -1, -2)
+            covs = window_covariances(H, active, _np_[:, 2])
             return covs, idx, active
 
         return jax.vmap(one)(chunk_starts)
