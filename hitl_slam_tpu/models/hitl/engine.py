@@ -64,6 +64,13 @@ class HitLSLAM:
         self.selected_points: list[np.ndarray] = []
         self.pending_type = CorrectionType.UNKNOWN
         self.correction_type = CorrectionType.UNKNOWN
+        # speculative dispatch: the fused cycle launched at selection-
+        # complete time so the device computes during the human pause
+        # between the last click and the 'p' keypress (VERDICT r2 item 4;
+        # the reference's cycle is fully synchronous, HitLSLAM.cpp:379-484)
+        self.speculate = True
+        self.speculative_hits = 0
+        self._speculative = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -132,6 +139,40 @@ class HitLSLAM:
                 self.selected_points.append(mouse_up)
             self.correction_type = ctype
             self.pending_type = CorrectionType.UNKNOWN
+            self._dispatch_speculative()
+
+    def _prepare_sel(self, ctype: CorrectionType,
+                     sel: np.ndarray) -> np.ndarray | None:
+        if ctype == CorrectionType.POINT and sel.shape[0] == 2:
+            # a point pair enters the fused cycle as two degenerate segments
+            sel = np.stack([sel[0], sel[0], sel[1], sel[1]])
+        return sel if sel.shape[0] == 4 else None
+
+    def _dispatch_speculative(self):
+        """Launch the fused cycle for the just-completed selection WITHOUT
+        blocking (jax dispatch is asynchronous): the device solves during
+        the human pause before the 'p' keypress, so run() only has to fetch
+        the finished result. Safe by construction — run() reuses the
+        dispatch only if the selection, poses, and constraint count are
+        bit-identical; anything else falls back to a fresh dispatch."""
+        if not self.speculate or self.state is None:
+            return
+        sel = self._prepare_sel(self.correction_type,
+                                np.stack(self.selected_points).astype(
+                                    np.float32))
+        if sel is None:
+            return
+        st = self.state
+        out = cycle_step(
+            st.points, st.point_mask, st.poses, st.covariances,
+            st.constraints,
+            jnp.asarray(int(self.correction_type), jnp.int32),
+            jnp.asarray(sel),
+            jnp.asarray(self.num_constraints, jnp.int32),
+            lm_config=self.lm_config,
+        )
+        self._speculative = (int(self.correction_type), sel.tobytes(),
+                             st.poses, self.num_constraints, out)
 
     def reset_correction_inputs(self):
         self.selected_points = []
@@ -266,26 +307,37 @@ class HitLSLAM:
                record_history: bool) -> CycleReport:
         st = self.state
         timer = FunctionTimer("cycle")
-        if ctype == CorrectionType.POINT and sel.shape[0] == 2:
-            # a point pair enters the fused cycle as two degenerate segments
-            sel = np.stack([sel[0], sel[0], sel[1], sel[1]])
-        if sel.shape[0] != 4:
+        sel_p = self._prepare_sel(ctype, sel)
+        if sel_p is None:
             return CycleReport(False, f"unsupported selection shape {sel.shape}")
+        sel = sel_p
 
         # snapshot for undo (device array handles — free, arrays immutable)
         prev_poses = st.poses
         prev_covariances = st.covariances
         prev_n = self.num_constraints
 
-        # ONE fused device program for the whole correction cycle
-        out = cycle_step(
-            st.points, st.point_mask, st.poses, st.covariances,
-            st.constraints,
-            jnp.asarray(int(ctype), jnp.int32),
-            jnp.asarray(sel),
-            jnp.asarray(self.num_constraints, jnp.int32),
-            lm_config=self.lm_config,
-        )
+        # reuse the speculative dispatch when it matches this exact cycle
+        # (selection bytes, pose array identity, constraint count) — the
+        # device already did the work during the human pause
+        out = None
+        spec, self._speculative = self._speculative, None
+        if (spec is not None and spec[0] == int(ctype)
+                and spec[1] == sel.astype(np.float32).tobytes()
+                and spec[2] is st.poses
+                and spec[3] == self.num_constraints):
+            out = spec[4]
+            self.speculative_hits += 1
+        if out is None:
+            # ONE fused device program for the whole correction cycle
+            out = cycle_step(
+                st.points, st.point_mask, st.poses, st.covariances,
+                st.constraints,
+                jnp.asarray(int(ctype), jnp.int32),
+                jnp.asarray(sel),
+                jnp.asarray(self.num_constraints, jnp.int32),
+                lm_config=self.lm_config,
+            )
         verified, order_valid, n_new, lm_it, c0, c1 = jax.device_get((
             out.verified, out.order_valid, out.num_new_constraints,
             out.lm_iterations, out.lm_initial_cost, out.lm_final_cost,

@@ -124,6 +124,59 @@ def test_run_via_click_state_machine(session, drifted_map):
     assert session.selected_points == []
 
 
+def test_speculative_dispatch_hit_and_equivalence(drifted_map):
+    """The cycle dispatched at selection-complete time (during the human
+    pause) must be consumed by run() when the state is unchanged, and give
+    bit-identical results to the non-speculative path (VERDICT r2 item 4)."""
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    m = drifted_map
+    inp = _make_correction(m, CorrectionType.COLINEAR)
+    mods = int(CorrectionType.COLINEAR)
+
+    results = {}
+    for speculate in (True, False):
+        eng = HitLSLAM()
+        eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+                 constraint_capacity=256)
+        eng.speculate = speculate
+        eng.add_correction_points(mods, inp.points[0], inp.points[1])
+        assert (eng._speculative is None) == (not speculate) or \
+            eng._speculative is None   # incomplete selection: no dispatch
+        eng.add_correction_points(mods, inp.points[2], inp.points[3])
+        if speculate:
+            assert eng._speculative is not None
+        rep = eng.run()
+        assert rep.accepted, rep.reason
+        assert eng.speculative_hits == (1 if speculate else 0)
+        assert eng._speculative is None    # consumed
+        results[speculate] = np.asarray(eng.get_poses())
+    np.testing.assert_array_equal(results[True], results[False])
+
+
+def test_speculative_dispatch_invalidated_by_state_change(drifted_map):
+    """A stale speculative dispatch (poses changed after the selection
+    completed) must NOT be consumed."""
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    m = drifted_map
+    inp = _make_correction(m, CorrectionType.COLINEAR)
+    mods = int(CorrectionType.COLINEAR)
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             constraint_capacity=256)
+    eng.add_correction_points(mods, inp.points[0], inp.points[1])
+    eng.add_correction_points(mods, inp.points[2], inp.points[3])
+    assert eng._speculative is not None
+    # perturb the state behind the selection's back
+    import dataclasses as _dc
+
+    eng.state = _dc.replace(eng.state, poses=eng.state.poses + 0.0)
+    rep = eng.run()
+    assert rep.accepted, rep.reason
+    assert eng.speculative_hits == 0       # stale dispatch not reused
+
+
 def test_undo_restores_poses(session, drifted_map):
     m = drifted_map
     inp = _make_correction(m, CorrectionType.COLINEAR)
