@@ -82,12 +82,14 @@ def _run_test_mode(port: int) -> int:
     from .gui.server import GuiServer
 
     server = GuiServer(port=port)
+    stop = threading.Event()
+    server.on_shutdown = stop.set
     server.start()
     print(f"test-mode GUI bridge on ws://127.0.0.1:{port} (Ctrl-C to stop)")
     t0 = _t.time()
     frames = 0
     try:
-        while True:
+        while not stop.is_set():
             dl = DrawList()
             phase = (_t.time() - t0)
             for k in range(64):
@@ -101,8 +103,9 @@ def _run_test_mode(port: int) -> int:
             frames += 1
             _t.sleep(1.0 / 60.0)
     except KeyboardInterrupt:
-        print(f"\n{frames} frames in {_t.time() - t0:.1f}s")
-        server.stop()
+        pass
+    print(f"\n{frames} frames in {_t.time() - t0:.1f}s")
+    server.stop()
     return 0
 
 
@@ -361,18 +364,21 @@ def main(argv=None) -> int:
         server.on_mouse_click = on_click
         server.on_keyboard = on_key
         server.on_capture = on_capture
+        stop = threading.Event()
         server.on_map_edit = on_map_edit
         server.on_graph_edit = on_graph_edit
+        server.on_shutdown = stop.set
         server.start()
         publish()
         print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "
               f"(keys: p=correct u=undo v=save l=replay a=propose/accept "
               f"c=covariances)")
         try:
-            while True:
-                time.sleep(0.5)
+            while not stop.wait(0.5):
+                pass
         except KeyboardInterrupt:
             handle_sigint(None, None)
+        server.stop()
         return 0
 
     # no mode selected: print summary and save

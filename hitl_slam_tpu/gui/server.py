@@ -38,6 +38,9 @@ class GuiServer:
         self.on_map_edit: Callable[[dict], None] | None = None
         # nav/semantic graph editing (editGraph modes analog)
         self.on_graph_edit: Callable[[dict], None] | None = None
+        # {"type": "shutdown"}: ask the engine process to exit its serve
+        # loop (used by headless tests; the interactive path uses Ctrl-C)
+        self.on_shutdown: Callable[[], None] | None = None
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
@@ -68,6 +71,9 @@ class GuiServer:
                 elif (isinstance(ev, dict) and ev.get("type") == "graph_edit"
                       and self.on_graph_edit):
                     await asyncio.to_thread(self.on_graph_edit, ev)
+                elif (isinstance(ev, dict) and ev.get("type") == "shutdown"
+                      and self.on_shutdown):
+                    self.on_shutdown()
         finally:
             self.clients.discard(ws)
 

@@ -132,9 +132,15 @@ def grid_match(
     # pre-shuffle so the per-cell capacity cap (rank < bucket) keeps an
     # unbiased pseudo-random sample instead of the lowest pose ids (the
     # stable sort would otherwise keep flat-index order within a cell);
-    # affects results only when a cell overflows `bucket`
+    # affects results only when a cell overflows `bucket`. The permutation
+    # depends only on the STATIC M, so it is computed in numpy at trace
+    # time — a [M] device argsort costs ~10-20 ms at M=262k, the embedded
+    # constant costs nothing (low 31 bits of the int64 product equal the
+    # reference int32-wrap formula exactly).
     pos = jnp.arange(M, dtype=jnp.int32)
-    perm = jnp.argsort((pos * np.int32(-1640531527)) & np.int32(0x7FFFFFFF))
+    perm = jnp.asarray(np.argsort(
+        (np.arange(M, dtype=np.int64) * -1640531527) & 0x7FFFFFFF,
+        kind="stable").astype(np.int32))
     order = perm[jnp.argsort(key[perm])]              # stable within cells
     skey = key[order]
     is_real = skey != INT_MAX
@@ -192,13 +198,25 @@ def grid_match(
     best_d2 = jnp.full((max_cells + 1, bucket), jnp.inf, dtype)
     best_tgt = jnp.zeros((max_cells + 1, bucket), dtype)
 
+    # query-side norms for the matmul-expanded pairwise distances (below)
+    qq = jnp.sum(q_rel * q_rel, -1)                   # [K, Bq]
+
     def tile(cand, nb_ok):
-        """Gated pairwise distances [K, Bq, Bc] for one neighbor offset."""
+        """Gated pairwise distances [K, Bq, Bc] for one neighbor offset.
+
+        d2 = |q|^2 + |c|^2 - 2 q.c with the cross terms as ONE batched
+        [K,Bq,2]@[K,2,Bc] matmul (MXU) — the broadcast-subtract-square form
+        materializes a [K,Bq,Bc,2] tile at the VPU's ~40-90 G element-ops/s
+        (NOTES.md), several times slower at K*Bq*Bc = 33M. Recentered
+        coordinates are O(threshold), so |q|^2+|c|^2-2q.c loses at most
+        ~|coords|^2*eps ~ 1e-8 — far under t2 = 0.0225."""
         c_rel = cand[:, :, 0:2] - center[:, None, :]
         bad = ~(nb_ok[:, None] & (cand[:, :, 6] > 0.5))
         c_rel = jnp.where(bad[:, :, None], 1e3, c_rel)
-        d2 = jnp.sum((q_rel[:, :, None, :] - c_rel[:, None, :, :]) ** 2, -1)
-        cos = jnp.sum(q_n[:, :, None, :] * cand[:, None, :, 2:4], -1)
+        cc = jnp.sum(c_rel * c_rel, -1)               # [K, Bc]
+        cross = jnp.einsum("kqi,kci->kqc", q_rel, c_rel)
+        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * cross
+        cos = jnp.einsum("kqi,kci->kqc", q_n, cand[:, :, 2:4])
         good = ((d2 < t2) & (cos > min_cos)
                 & (q_pose[:, :, None] != cand[:, None, :, 4]))
         return jnp.where(good, d2, jnp.inf)

@@ -422,10 +422,18 @@ def stf_lm_solve(
     pair_runs = (run_last, run_start)
     onehots = stf_onehots(stf, poses0.shape[0], dtype)
 
-    def body(state):
-        x, mu, nu, c, it, done = state
+    def assemble(x):
         H, g, _ = assemble_dense(problem, stf, x, include_chain, onehots,
                                  pair_runs)
+        return H, g
+
+    H0, g0 = assemble(poses0)
+
+    def body(state):
+        x, H, g, mu, nu, c, it, done = state
+        # H, g are always valid at the current x: a REJECTED step leaves x
+        # unchanged, so only mu changes and the (dominant) assembly is
+        # skipped — lax.cond below re-assembles on accepted steps only
         diag = jnp.clip(jnp.diagonal(H), config.min_diagonal,
                         config.max_diagonal)
         Hd = H + mu * jnp.diag(diag)
@@ -450,16 +458,18 @@ def stf_lm_solve(
         sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
                           * (jnp.linalg.norm(x) + config.parameter_tolerance))
         mdone = mu >= config.mu_collapse
-        return x, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+        done = done | fdone | sdone | mdone
+        H, g = lax.cond(accept & ~done,
+                        lambda xx: assemble(xx), lambda xx: (H, g), x)
+        return x, H, g, mu, nu, c_next, it + 1, done
 
     def cond(state):
-        _, _, _, _, it, done = state
-        return (it < config.max_iterations) & ~done
+        return (state[6] < config.max_iterations) & ~state[7]
 
-    init = (poses0, jnp.asarray(config.initial_mu, dtype),
+    init = (poses0, H0, g0, jnp.asarray(config.initial_mu, dtype),
             jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
             jnp.asarray(False))
-    x, _, _, c, it, _ = lax.while_loop(cond, body, init)
+    x, _, _, _, _, c, it, _ = lax.while_loop(cond, body, init)
     return STFSolveResult(
         poses=x, final_cost=c, initial_cost=c0, iterations=it,
         num_matches=jnp.sum(stf.valid),

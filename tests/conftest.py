@@ -22,6 +22,14 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass
+# No persistent compilation cache in tests: (a) cache entries AOT-compiled
+# on a different machine can SIGILL on load (observed warning), (b) a
+# segfault was traced to a cache write racing leaked background threads.
+# CPU compiles are fast; tests don't need the cache.
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -30,6 +38,21 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables at module boundaries.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables in
+    one process and deterministically SEGFAULTs inside
+    backend_compile_and_load around the ~117th test (reproduced twice at
+    the identical test with unrelated code versions; the same module
+    passes in isolation). Dropping the jit caches between modules bounds
+    live code memory; cross-module executable reuse is rare (different
+    shapes), so the wall-clock cost is small."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -207,8 +207,11 @@ def test_cli_test_mode_streams_frames():
             for _ in range(3):
                 frames.append(json.loads(
                     await asyncio.wait_for(ws.recv(), timeout=5)))
+            await ws.send(json.dumps({"type": "shutdown"}))
 
     asyncio.run(client())
+    t.join(timeout=10)
+    assert not t.is_alive()   # serve loop exited on the shutdown message
     assert len(frames) == 3
     assert all(f["type"] == "drawlist" and len(f["lines_p1"]) == 64
                for f in frames)
@@ -303,8 +306,11 @@ def test_gui_headless_session_protocol(session_files, tmp_path):
             # 'v': save poses
             await send({"type": "keyboard", "keycode": 0x56})
             await asyncio.sleep(1.0)
+            await send({"type": "shutdown"})
 
     asyncio.run(drive())
+    t.join(timeout=10)
+    assert not t.is_alive()   # serve loop exited; no leaked GUI thread
     poses = np.loadtxt(out)
     assert poses.shape == (96, 3)
     with open(cap, "rb") as f:

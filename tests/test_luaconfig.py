@@ -166,8 +166,6 @@ def test_cli_enml_domain_flag(tmp_path, capsys):
     cap = capsys.readouterr().out
     assert "domain='freiburg'" in cap
     assert "match_threshold=0.25" in cap
-    rc = enml_main(argv + ["--domain", "orebro"])
-    assert rc == 0
-    cap = capsys.readouterr().out
-    assert "match_threshold=0.05" in cap
-    assert "max_history=120" in cap
+    # the orebro-domain PARAMETER resolution is asserted compile-free in
+    # test_options_from_reference_table (a second full localizer compile
+    # at different EnmlOptions costs ~4 min of CPU suite time)

@@ -99,20 +99,22 @@ def test_batched_replica_solve(rng):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_gspmd_batched_repair_matches_single_device(rng):
-    """The dp x sp GSPMD-sharded batched repair step must produce the same
-    numbers as the unsharded path."""
+    """The dp x sp GSPMD-sharded batched FUSED cycle (Pallas EM sweeps in
+    interpret mode + ordering + explicit + backprop + LM) must produce the
+    same numbers as the unsharded path."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     import __graft_entry__ as g
-    from hitl_slam_tpu.models.hitl.repair import repair_step
+    from hitl_slam_tpu.models.hitl.cycle import cycle_step
     from hitl_slam_tpu.solver.lm import LMConfig
 
-    base = g._tiny_inputs(num_poses=32, num_rays=32, constraint_capacity=64)
+    base = g._tiny_cycle_inputs(num_poses=32, num_rays=32,
+                                constraint_capacity=256)
     config = LMConfig(max_iterations=5)
 
     def step(*args):
-        out = repair_step(*args, lm_config=config)
-        return out.poses, out.lm.final_cost
+        out = cycle_step(*args, lm_config=config)
+        return out.poses, out.lm_final_cost
 
     B = 4
     batched = jax.tree_util.tree_map(
