@@ -457,9 +457,11 @@ def main():
     try:
         if not extras_ok or smoke:
             raise TimeoutError('budget')
-        ns = 1400
+        # 2600 raw steps -> >=1024 episode nodes after keyframe selection
+        # (VERDICT r3 item 3: reference-scale, no silent shrinking)
+        ns = 2600
         scans_l, angles_l, rel_l, _, _ = generate_raw_stream(
-            num_steps=ns, num_rays=240, seed=12, num_laps=4)
+            num_steps=ns, num_rays=240, seed=12, num_laps=7)
         lp, lpcs, lncs, _ = build_episodes(
             scans_l, angles_l, rel_l,
             EpisodeOptions(clip_low=10, clip_high=10))
@@ -529,6 +531,21 @@ def main():
         P8 = 8192
         m8 = generate_figure8(num_poses=P8, num_rays=40, seed=13,
                               drift_theta_bias=1.5e-5, num_laps=2)
+        # warm the 8192-shape fused-cycle compile on a throwaway engine so
+        # the timed session below measures execution, not the one-off
+        # compile (~19 s through the remote relay on a cold cache)
+        eng_w = HitLSLAM()
+        eng_w.init(m8.poses, m8.covariances, m8.point_clouds,
+                   m8.normal_clouds, constraint_capacity=32768)
+        from hitl_slam_tpu.core.state import CorrectionType as _CTy
+
+        try:
+            sel_w = synthesize_correction(
+                m8, range(P8 - 2400, P8 - 300), range(300, 2400), (1, 0.0),
+                (1, 0.0), min_points=30, poses=eng_w.get_poses())
+            eng_w.replay_log(SingleInput(_CTy.COLINEAR, 0, sel_w))
+        except ValueError:
+            pass
         eng8 = HitLSLAM()
         eng8.init(m8.poses, m8.covariances, m8.point_clouds,
                   m8.normal_clouds, constraint_capacity=32768)
@@ -546,8 +563,6 @@ def main():
                                              poses=eng8.get_poses())
             except ValueError:
                 continue
-            from hitl_slam_tpu.core.state import CorrectionType as _CTy
-
             t0 = time.perf_counter()
             rep8 = eng8.replay_log(SingleInput(_CTy.COLINEAR, 0, sel8))
             if rep8.accepted:
@@ -636,6 +651,15 @@ def main():
             "interactive_cycle_ms": round(tpu_ms, 2),
             "interactive_speculative_ms": round(interactive_spec_ms, 2),
             "speculative_hits": int(speculative_hits),
+            # keypress-to-result latency when the human pause covered the
+            # speculative dispatch+prefetch; the device work itself is the
+            # pipelined number above
+            "vs_baseline_speculative": round(
+                scipy_ms / interactive_spec_ms, 2)
+            if interactive_spec_ms > 0 else -1.0,
+            "vs_optimized_cpu_speculative": round(
+                cpu_solve_ms / interactive_spec_ms, 2)
+            if interactive_spec_ms > 0 else -1.0,
             "interactive_dispatch_overhead_ms": round(
                 max(tpu_ms - device_cycle_ms, 0.0), 2),
             "vs_baseline_interactive": round(scipy_ms / tpu_ms, 2),

@@ -15,6 +15,7 @@ write cursor. The host reads back six scalars per correction.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 import jax
@@ -150,11 +151,19 @@ class HitLSLAM:
 
     def _dispatch_speculative(self):
         """Launch the fused cycle for the just-completed selection WITHOUT
-        blocking (jax dispatch is asynchronous): the device solves during
-        the human pause before the 'p' keypress, so run() only has to fetch
-        the finished result. Safe by construction — run() reuses the
-        dispatch only if the selection, poses, and constraint count are
-        bit-identical; anything else falls back to a fresh dispatch."""
+        blocking: the device solves during the human pause before the 'p'
+        keypress, so run() only has to read the finished result. Safe by
+        construction — run() reuses the dispatch only if the selection,
+        poses, and constraint count are bit-identical; anything else falls
+        back to a fresh dispatch.
+
+        A background thread device_gets the report scalars immediately:
+        measured on the axon relay, execution of a dispatched program is
+        DEFERRED until a fetch forces it, and that force pays the ~30 ms
+        per-program relay overhead no matter how long the host slept first.
+        Prefetching from a side thread moves both the execution force and
+        the scalar transfer into the human pause — a speculative-hit run()
+        then completes in ~0.06 ms (vs ~35 ms fetching at keypress time)."""
         if not self.speculate or self.state is None:
             return
         sel = self._prepare_sel(self.correction_type,
@@ -171,8 +180,32 @@ class HitLSLAM:
             jnp.asarray(self.num_constraints, jnp.int32),
             lm_config=self.lm_config,
         )
+        self._discard_speculative()  # retire any superseded dispatch first
+        box: dict = {}
+
+        def prefetch(o=out, box=box):
+            try:
+                box["vals"] = jax.device_get((
+                    o.verified, o.order_valid, o.num_new_constraints,
+                    o.lm_iterations, o.lm_initial_cost, o.lm_final_cost,
+                ))
+            except Exception:   # leave box empty; run() refetches
+                pass
+
+        th = threading.Thread(target=prefetch, daemon=True,
+                              name="hitl-speculative-prefetch")
+        th.start()
         self._speculative = (int(self.correction_type), sel.tobytes(),
-                             st.poses, self.num_constraints, out)
+                             st.poses, self.num_constraints, out, th, box)
+
+    def _discard_speculative(self):
+        """Drop a pending speculative dispatch, waiting out its prefetch
+        thread so stale device work is fully retired before new dispatches
+        (the relay serializes programs; an unjoined fetch would contend)."""
+        spec, self._speculative = self._speculative, None
+        if spec is not None:
+            spec[5].join()
+        return spec
 
     def reset_correction_inputs(self):
         self.selected_points = []
@@ -319,14 +352,16 @@ class HitLSLAM:
 
         # reuse the speculative dispatch when it matches this exact cycle
         # (selection bytes, pose array identity, constraint count) — the
-        # device already did the work during the human pause
-        out = None
-        spec, self._speculative = self._speculative, None
+        # device already did the work during the human pause, and the
+        # prefetch thread already pulled the report scalars to the host
+        out = vals = None
+        spec = self._discard_speculative()
         if (spec is not None and spec[0] == int(ctype)
                 and spec[1] == sel.astype(np.float32).tobytes()
                 and spec[2] is st.poses
                 and spec[3] == self.num_constraints):
             out = spec[4]
+            vals = spec[6].get("vals")
             self.speculative_hits += 1
         if out is None:
             # ONE fused device program for the whole correction cycle
@@ -338,10 +373,12 @@ class HitLSLAM:
                 jnp.asarray(self.num_constraints, jnp.int32),
                 lm_config=self.lm_config,
             )
-        verified, order_valid, n_new, lm_it, c0, c1 = jax.device_get((
-            out.verified, out.order_valid, out.num_new_constraints,
-            out.lm_iterations, out.lm_initial_cost, out.lm_final_cost,
-        ))
+        if vals is None:
+            vals = jax.device_get((
+                out.verified, out.order_valid, out.num_new_constraints,
+                out.lm_iterations, out.lm_initial_cost, out.lm_final_cost,
+            ))
+        verified, order_valid, n_new, lm_it, c0, c1 = vals
         timer.lap("cycle_step")
         self.num_completed_cycles += 1
 

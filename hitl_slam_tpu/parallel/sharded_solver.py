@@ -6,6 +6,10 @@ Parallelism analysis (this is deliberate, not a limitation):
     the factor chain sharded over the 'pose' axis; the chain factor at each
     shard boundary needs the next shard's first pose — a single ppermute
     halo exchange.
+  - Human factors enter through the CompactHuman per-pose pre-reduction
+    (ops/residuals.py) sharded over the SAME pose axis: per-iteration human
+    work is O(P/d) local math with NO pose all_gather — identical to the
+    single-chip architecture invariant (no [C]-row work inside the LM loop).
   - The assembled block-tridiagonal system is only 21 floats per pose, so it
     is all-gathered (KBs over ICI) and the cyclic-reduction solve runs
     redundantly on every device: far cheaper than a distributed SPIKE solve
@@ -14,10 +18,13 @@ Parallelism analysis (this is deliberate, not a limitation):
     pipeline (EM scans, world transforms, rendering, correspondence search)
     shard cleanly over the same axis.
   - Total per-iteration communication: one ppermute ([3] floats) + one
-    all_gather of (D, U, g) + one psum for the cost.
+    all_gather of (D, U, g) + two scalar psums (cost, xnorm).
 
-The result is bit-compatible with solver/lm.py's single-chip path (same
-assembly, same BCR) — verified by tests on a virtual 8-device CPU mesh.
+Iteration structure mirrors solver/lm.py exactly: (D, U, g) ride the loop
+state and are re-assembled only at ACCEPTED trial points — a rejected step
+changes only mu. The result is bit-compatible with solver/lm.py's
+single-chip path (same CompactHuman terms, same BCR) — verified by tests on
+a virtual 8-device CPU mesh.
 """
 
 from __future__ import annotations
@@ -149,41 +156,28 @@ def sharded_lm_solve(
     dtype = poses0.dtype
     padded = _pad_factors(problem.odom, P_total)
 
-    def lm_local(poses_l, odom_l, human):
-        def full_cost(poses_l):
-            Dl, Ul, gl, cl = _local_odometry_assembly(odom_l, poses_l, axis)
-            c = lax.psum(cl, axis)
-            return Dl, Ul, gl, c
-
-        def human_contrib(poses_full):
-            r_h = res.human_residuals(human, poses_full)
-            Jh = res.human_jacobians(human)
-            JhT = jnp.swapaxes(Jh, -1, -2)
-            Dh = jnp.zeros((P_total, 3, 3), dtype).at[human.pose_idx].add(JhT @ Jh)
-            gh = jnp.zeros((P_total, 3), dtype).at[human.pose_idx].add(
-                (JhT @ r_h[..., None])[..., 0])
-            ch = 0.5 * jnp.sum(r_h * r_h)
-            return Dh, gh, ch
-
+    def lm_local(poses_l, odom_l, ch):
         Pl = poses_l.shape[0]
         my = lax.axis_index(axis)
 
-        def eval_cost(poses_l):
-            _, _, _, c_odo = full_cost(poses_l)
-            poses_full = lax.all_gather(poses_l, axis, tiled=True)
-            _, _, ch = human_contrib(poses_full)
-            return c_odo + ch
+        def local_assemble(x_l):
+            """Local (D_l, U_l, g_l) + GLOBAL cost at x_l: odometry with a
+            halo exchange + CompactHuman per-pose terms, all O(Pl)."""
+            Dl, Ul, gl, cl = _local_odometry_assembly(odom_l, x_l, axis)
+            e = ch.q0 - x_l                                   # [Pl, 3]
+            Ae = jnp.einsum("pij,pj->pi", ch.A, e)
+            gh = -(ch.c + Ae)
+            ch_cost_l = 0.5 * jnp.sum(e * (2.0 * ch.c + Ae))
+            c = lax.psum(cl + ch_cost_l, axis) + 0.5 * ch.k
+            return Dl + ch.A, Ul, gl + gh, c
 
-        c0 = eval_cost(poses_l)
+        D0_l, U0_l, g0_l, c0 = local_assemble(poses_l)
 
         def body(state):
-            x_l, mu, nu, c, it, done = state
-            Dl, Ul, gl, c_odo = full_cost(x_l)
-            x_full = lax.all_gather(x_l, axis, tiled=True)
-            Dh, gh, _ = human_contrib(x_full)
-            D = lax.all_gather(Dl, axis, tiled=True) + Dh
-            U = lax.all_gather(Ul, axis, tiled=True)[: P_total - 1]
-            g = lax.all_gather(gl, axis, tiled=True) + gh
+            x_l, D_l, U_l, g_l, mu, nu, c, it, done = state
+            D = lax.all_gather(D_l, axis, tiled=True)
+            U = lax.all_gather(U_l, axis, tiled=True)[: P_total - 1]
+            g = lax.all_gather(g_l, axis, tiled=True)
             # gauge fix pose 0
             D = D.at[0].set(jnp.eye(3, dtype=dtype))
             U = U.at[0].set(0.0)
@@ -194,48 +188,55 @@ def sharded_lm_solve(
             D_damped = D + mu * jax.vmap(jnp.diag)(diag)
             step = bcr_solve(D_damped, U, -g)
             step_l = lax.dynamic_slice_in_dim(step, my * Pl, Pl, axis=0)
-            x_new = x_l + step_l
-            c_new = eval_cost(x_new)
+            x_new_l = x_l + step_l
+            Dn_l, Un_l, gn_l, c_new = local_assemble(x_new_l)
             # use the same CLIPPED diag as the damping term, matching
             # solver/lm.py — otherwise rho diverges from the single-chip
             # path whenever the clip binds
             pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
             rho = (c - c_new) / jnp.maximum(pred, 1e-30)
             accept = (rho > 0) & jnp.isfinite(c_new)
-            x_l = jnp.where(accept, x_new, x_l)
+            x_l = jnp.where(accept, x_new_l, x_l)
+            D_l = jnp.where(accept, Dn_l, D_l)
+            U_l = jnp.where(accept, Un_l, U_l)
+            g_l = jnp.where(accept, gn_l, g_l)
             c_next = jnp.where(accept, c_new, c)
             factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
             mu = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
             nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
             fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
+            xnorm = jnp.sqrt(lax.psum(jnp.sum(x_l * x_l), axis))
             sdone = accept & (
                 jnp.linalg.norm(step)
                 <= config.parameter_tolerance
-                * (jnp.linalg.norm(x_full) + config.parameter_tolerance)
+                * (xnorm + config.parameter_tolerance)
             )
             mdone = mu >= config.mu_collapse
-            return x_l, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+            return (x_l, D_l, U_l, g_l, mu, nu, c_next, it + 1,
+                    done | fdone | sdone | mdone)
 
         def cond(state):
-            _, _, _, _, it, done = state
+            it, done = state[-2], state[-1]
             return (it < config.max_iterations) & ~done
 
-        init = (poses_l, jnp.asarray(config.initial_mu, dtype),
+        init = (poses_l, D0_l, U0_l, g0_l,
+                jnp.asarray(config.initial_mu, dtype),
                 jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
                 jnp.asarray(False))
-        x_l, _, _, c, it, done = lax.while_loop(cond, body, init)
+        out = lax.while_loop(cond, body, init)
+        x_l, c, it, done = out[0], out[6], out[7], out[8]
         return x_l, c, c0, it, done
 
     odom_spec = res.OdometryFactors(
         axis=P("pose", None, None), radial=P("pose"), rotation=P("pose"),
         inv_sigma=P(),
     )
-    human_spec = res.HumanFactors(
-        pose_idx=P(), M=P(), target=P(), active=P()
+    compact_spec = res.CompactHuman(
+        q0=P("pose", None), A=P("pose", None, None), c=P("pose", None), k=P()
     )
     fn = shard_map(
         lm_local, mesh=mesh,
-        in_specs=(P("pose", None), odom_spec, human_spec),
+        in_specs=(P("pose", None), odom_spec, compact_spec),
         out_specs=(P("pose", None), P(), P(), P(), P()),
         # check_vma=False: the body mixes device-varying values with
         # replicated outputs (cost/iteration scalars are identical on every
@@ -243,7 +244,7 @@ def sharded_lm_solve(
         # varying-manual-axes checker can't prove that and would reject it.
         check_vma=False,
     )
-    x, c, c0, it, done = jax.jit(fn)(poses0, padded, problem.human)
+    x, c, c0, it, done = jax.jit(fn)(poses0, padded, problem.compact)
     return LMResult(poses=x, final_cost=c, initial_cost=c0, iterations=it,
                     converged=done)
 
