@@ -218,6 +218,23 @@ def test_pair_sorted_assembly_matches_plain(rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(float(c_b), float(c_a), rtol=1e-5)
 
+    # compacted pair-representative path (gather + unique scatter-SET)
+    from hitl_slam_tpu.solver.stf_solve import compact_pair_rows
+
+    cidx, cbi, cbj, dropped = compact_pair_rows(fs, run_last, 2, max_pairs=8)
+    assert int(dropped) == 0
+    H_c, g_c, c_c = assemble_dense(prob, fs, poses, True, oh_s,
+                                   (run_last, run_start), (cidx, cbi, cbj))
+    np.testing.assert_allclose(np.asarray(H_c), np.asarray(H_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_b),
+                               rtol=1e-6, atol=1e-6)
+
+    # capacity 1 < #pairs: the overflow is COUNTED, not silent
+    cidx1, cbi1, cbj1, dropped1 = compact_pair_rows(fs, run_last, 2,
+                                                    max_pairs=1)
+    assert int(dropped1) == int(jnp.sum(run_last)) - 1
+
 
 def test_refine_aligns_offset_wall(rng):
     """Two scans of one wall, offset 5 cm: the STF refine should pull the
