@@ -150,9 +150,6 @@ def grid_match(
     rank = pos - run_start
 
     slot_ok = is_real & (rank < bucket) & (cid < max_cells)
-    # rejected rows get DISTINCT dump slots — colliding scatter writes
-    # serialize on this TPU, a collision-free scatter is one parallel pass
-    slot = jnp.where(slot_ok, cid * bucket + rank, max_cells * bucket + pos)
     dropped = (jnp.sum(is_real & ~slot_ok)
                + jnp.sum(fmask & ~in_range)).astype(jnp.int32)
 
@@ -163,17 +160,32 @@ def grid_match(
         jnp.arange(M, dtype=dtype)[:, None],
         jnp.ones((M, 1), dtype),
     ], axis=1)[order]                                  # ONE fused row gather
-    table = jnp.zeros((max_cells * bucket + M, chan.shape[1]), dtype)
-    table = table.at[slot].set(jnp.where(slot_ok[:, None], chan, 0.0))
-    table = table[:max_cells * bucket].reshape(max_cells, bucket,
-                                               chan.shape[1])
 
-    # sorted occupied-cell keys (ascending since cid follows skey order);
-    # non-run-start rows write distinct dump slots (collision-free)
-    cell_ok = is_new & (cid < max_cells)
-    ucell = jnp.full((max_cells + M,), INT_MAX, jnp.int32).at[
-        jnp.where(cell_ok, cid, max_cells + pos)
-    ].set(jnp.where(cell_ok, skey, INT_MAX))[:max_cells]
+    # bucket table built by GATHER, not scatter: the sort already grouped
+    # points by cell, so cell c's slots are sorted rows cell_start[c] ..
+    # cell_start[c]+bucket-1 (a contiguous block-row gather — measured
+    # ~1-2 ms where the old scatter into a [max_cells*bucket + M]-row
+    # dump-slot table cost 13.6 ms; TPU scatter cost scales with the
+    # DESTINATION size, and dump slots made it 786k rows). Taking the first
+    # `bucket` rows of each run in shuffled-stable order is bit-identical
+    # to the old rank < bucket density cap.
+    n_real = jnp.sum(is_real.astype(jnp.int32))
+    cell_start = jnp.nonzero(is_new, size=max_cells,
+                             fill_value=M)[0].astype(jnp.int32)
+    cell_end = jnp.minimum(
+        jnp.concatenate([cell_start[1:], jnp.full((1,), M, jnp.int32)]),
+        n_real)
+    slot_idx = cell_start[:, None] + jnp.arange(bucket, dtype=jnp.int32)
+    slot_valid = slot_idx < cell_end[:, None]          # also false for fills
+    table = jnp.where(
+        slot_valid[:, :, None],
+        chan[jnp.clip(slot_idx, 0, M - 1)], 0.0)       # [max_cells, bucket, 7]
+
+    # sorted occupied-cell keys (ascending since cell_start follows skey
+    # order; fills -> INT_MAX at the end)
+    skey_pad = jnp.concatenate([skey, jnp.full((1,), INT_MAX, jnp.int32)])
+    ucell = jnp.where(cell_start < M, skey_pad[jnp.minimum(cell_start, M)],
+                      INT_MAX)
 
     # recenter all slot coordinates on the OWNING cell's center: pairwise
     # terms then involve only O(threshold)-magnitude values (no |world|^2
@@ -269,8 +281,9 @@ def grid_match(
     best_tgt = best_tgt[:max_cells]
 
     # read each sorted point's result back from its slot (gather), then
-    # unsort via the permutation (collision-free scatter)
-    safe_slot = jnp.where(slot_ok, slot, 0)
+    # unsort via the permutation (collision-free scatter); sorted row pos
+    # landed at table[cid, rank] because pos == cell_start[cid] + rank
+    safe_slot = jnp.where(slot_ok, cid * bucket + rank, 0)
     d2_sorted = jnp.where(slot_ok, best_d2.reshape(-1)[safe_slot], jnp.inf)
     tgt_sorted = jnp.where(slot_ok, best_tgt.reshape(-1)[safe_slot], 0.0)
     res = jnp.zeros((M, 2), dtype).at[order].set(
