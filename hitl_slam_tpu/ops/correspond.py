@@ -82,21 +82,24 @@ def grid_match(
 ) -> Matches:
     """Exact best-in-3x3-neighborhood NN via dense bucket tables.
 
-    Stage 1 (bin): stable-sort flat points by integer cell key, derive each
-    point's (compact cell id, rank within cell) with a cummax over run
-    starts, and scatter all channels into a [max_cells, bucket, 8] table —
-    collision-free writes, one fused gather, one sort.
+    Stage 1 (bin): stable-sort flat points by integer cell key; cell c's
+    bucket is then the contiguous sorted rows cell_start[c]..+bucket-1, so
+    the SoA bucket table (positions, normals, pose id, flat idx per
+    [max_cells, bucket] slot) is built by one composed block-row GATHER
+    (idx2 = order[slot]) — no scatter at all, and pose id / flat idx /
+    occupancy are arithmetic on idx2.
 
-    Stage 2 (match): the neighbor cell's compact id comes from ONE
-    searchsorted over the [max_cells] sorted cell keys; its bucket is one
-    block-row gather; then every (query slot, candidate slot) pair is
-    scored in a dense [max_cells, bucket, bucket] tile (distance + normal
-    gate + same-pose exclusion). Opposite offsets share one tile: the
-    (+dx,+dy) pass reduces over the candidate axis for its own queries AND
-    over the query axis for the neighbor's queries (scattered back via the
-    collision-free nb mapping), so the 3x3 neighborhood costs 5 tile
-    passes, not 9. Exact whenever nothing is dropped (Matches.dropped == 0;
-    capacity clamps documented in the module docstring)."""
+    Stage 2 (match): each neighbor cell's compact id comes from ONE
+    searchsorted over the [max_cells] sorted cell keys; the center + 4
+    representative offsets' buckets are concatenated into one
+    [max_cells, bucket, 5*bucket] gated-distance tile (distance + normal
+    gate + same-pose exclusion; f32 lane padding makes one wide tile ~1.7x
+    cheaper in padded lanes than 5 narrow ones). Each +offset slice also
+    serves the opposite offset by reducing over the QUERY axis and
+    scattering to the neighbor's rows (collision-free nb mapping), so the
+    3x3 neighborhood costs one forward + 4 sliced reverse reductions.
+    Exact whenever nothing is dropped (Matches.dropped == 0; capacity
+    clamps documented in the module docstring)."""
     P, N, _ = world_pts.shape
     M = P * N
     if max_cells is None:
@@ -108,7 +111,6 @@ def grid_match(
     pts = world_pts.reshape(M, 2)
     nrm = world_nrm.reshape(M, 2)
     fmask = mask.reshape(M)
-    pose_id = jnp.repeat(jnp.arange(P, dtype=jnp.int32), N)
     INT_MAX = jnp.iinfo(jnp.int32).max
 
     # integer cell key: offset keeps coords positive; SPAN 2^15 keeps the
@@ -153,22 +155,18 @@ def grid_match(
     dropped = (jnp.sum(is_real & ~slot_ok)
                + jnp.sum(fmask & ~in_range)).astype(jnp.int32)
 
-    # all channels in one row: x, y, nx, ny, pose, flat idx, occupied
-    chan = jnp.concatenate([
-        pts, nrm,
-        pose_id.astype(dtype)[:, None],
-        jnp.arange(M, dtype=dtype)[:, None],
-        jnp.ones((M, 1), dtype),
-    ], axis=1)[order]                                  # ONE fused row gather
-
     # bucket table built by GATHER, not scatter: the sort already grouped
     # points by cell, so cell c's slots are sorted rows cell_start[c] ..
-    # cell_start[c]+bucket-1 (a contiguous block-row gather — measured
-    # ~1-2 ms where the old scatter into a [max_cells*bucket + M]-row
-    # dump-slot table cost 13.6 ms; TPU scatter cost scales with the
-    # DESTINATION size, and dump slots made it 786k rows). Taking the first
-    # `bucket` rows of each run in shuffled-stable order is bit-identical
-    # to the old rank < bucket density cap.
+    # cell_start[c]+bucket-1 — contiguous BLOCK gathers (cheap), where the
+    # old scatter into a [max_cells*bucket + M]-row dump-slot table cost
+    # 13.6 ms (TPU scatter cost scales with destination size). Taking the
+    # first `bucket` rows of each run in shuffled-stable order is
+    # bit-identical to the old rank < bucket density cap. The 7-channel AoS
+    # row (x, y, nx, ny, pose, flat idx, occupied) is the MEASURED winner:
+    # composing idx2 = order[slot] and gathering pts[idx2] directly (47.2),
+    # or splitting int channels out of the float gather (43.0), both lose
+    # to this one fused random-[M,7] + block-[K*B,7] gather chain (38.8) —
+    # XLA fuses the AoS chain better than any hand decomposition.
     n_real = jnp.sum(is_real.astype(jnp.int32))
     cell_start = jnp.nonzero(is_new, size=max_cells,
                              fill_value=M)[0].astype(jnp.int32)
@@ -176,10 +174,21 @@ def grid_match(
         jnp.concatenate([cell_start[1:], jnp.full((1,), M, jnp.int32)]),
         n_real)
     slot_idx = cell_start[:, None] + jnp.arange(bucket, dtype=jnp.int32)
-    slot_valid = slot_idx < cell_end[:, None]          # also false for fills
-    table = jnp.where(
-        slot_valid[:, :, None],
-        chan[jnp.clip(slot_idx, 0, M - 1)], 0.0)       # [max_cells, bucket, 7]
+    occ = slot_idx < cell_end[:, None]                 # false for fills too
+    pose_id = jnp.repeat(jnp.arange(P, dtype=jnp.int32), N)
+    chan = jnp.concatenate([
+        pts, nrm,
+        pose_id.astype(dtype)[:, None],
+        jnp.arange(M, dtype=dtype)[:, None],
+        jnp.ones((M, 1), dtype),
+    ], axis=1)[order]                                  # ONE fused row gather
+    table = jnp.where(occ[:, :, None],
+                      chan[jnp.clip(slot_idx, 0, M - 1)],
+                      0.0)                             # [K, B, 7] block rows
+    p_tab = table[:, :, 0:2]
+    n_tab = table[:, :, 2:4]
+    pose_tab = table[:, :, 4]
+    fidx_tab = table[:, :, 5]
 
     # sorted occupied-cell keys (ascending since cell_start follows skey
     # order; fills -> INT_MAX at the end)
@@ -195,14 +204,13 @@ def grid_match(
     ky = ucell - kx * SPAN
     center = (jnp.stack([kx, ky], -1).astype(dtype)
               - (OFF - 0.5)) * threshold               # [K, 2]
-    q_rel = table[:, :, 0:2] - center[:, None, :]
     # unoccupied slots also serve as CANDIDATES in the reverse-offset
-    # reduction — push them out of range (their zero normals would fail the
-    # cos gate anyway, but only for min_cos > 0)
-    q_rel = jnp.where(table[:, :, 6:7] > 0.5, q_rel, 1e3)
-    q_n = table[:, :, 2:4]
-    q_pose = table[:, :, 4]
-    q_idx = table[:, :, 5]
+    # reduction — push them out of range (their zeroed normals would fail
+    # the cos gate anyway, but only for min_cos > 0)
+    q_rel = jnp.where(occ[:, :, None], p_tab - center[:, None, :], 1e3)
+    q_n = n_tab
+    q_pose = pose_tab
+    q_idx = fidx_tab
 
     t2 = threshold * threshold
     # one dump row at index max_cells absorbs reverse-side updates of
@@ -213,64 +221,73 @@ def grid_match(
     # query-side norms for the matmul-expanded pairwise distances (below)
     qq = jnp.sum(q_rel * q_rel, -1)                   # [K, Bq]
 
-    def tile(cand, nb_ok):
-        """Gated pairwise distances [K, Bq, Bc] for one neighbor offset.
-
-        d2 = |q|^2 + |c|^2 - 2 q.c with the cross terms as ONE batched
-        [K,Bq,2]@[K,2,Bc] matmul (MXU) — the broadcast-subtract-square form
-        materializes a [K,Bq,Bc,2] tile at the VPU's ~40-90 G element-ops/s
-        (NOTES.md), several times slower at K*Bq*Bc = 33M. Recentered
-        coordinates are O(threshold), so |q|^2+|c|^2-2q.c loses at most
-        ~|coords|^2*eps ~ 1e-8 — far under t2 = 0.0225."""
-        c_rel = cand[:, :, 0:2] - center[:, None, :]
-        bad = ~(nb_ok[:, None] & (cand[:, :, 6] > 0.5))
-        c_rel = jnp.where(bad[:, :, None], 1e3, c_rel)
-        cc = jnp.sum(c_rel * c_rel, -1)               # [K, Bc]
-        cross = jnp.einsum("kqi,kci->kqc", q_rel, c_rel)
-        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * cross
-        cos = jnp.einsum("kqi,kci->kqc", q_n, cand[:, :, 2:4])
-        good = ((d2 < t2) & (cos > min_cos)
-                & (q_pose[:, :, None] != cand[:, None, :, 4]))
-        return jnp.where(good, d2, jnp.inf)
-
-    def fwd_reduce(d2e, cand):
-        dm = jnp.min(d2e, 2)
-        hit = (d2e <= dm[:, :, None]) & jnp.isfinite(dm)[:, :, None]
-        tm = jnp.max(jnp.where(hit, cand[:, None, :, 5], -1.0), 2)
-        return dm, tm
-
-    # center cell: queries and candidates are the same bucket
-    d2e = tile(table, ucell != INT_MAX)
-    dm, tm = fwd_reduce(d2e, table)
-    upd = dm < best_d2[:max_cells]
-    best_d2 = best_d2.at[:max_cells].set(
-        jnp.where(upd, dm, best_d2[:max_cells]))
-    best_tgt = best_tgt.at[:max_cells].set(
-        jnp.where(upd, tm, best_tgt[:max_cells]))
-
-    # the four +offset representatives; each tile also serves the opposite
-    # offset by reducing over the QUERY axis and scattering to the
-    # neighbor's rows (nb is injective per offset -> collision-free)
-    for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+    # ONE concatenated candidate tensor for the whole symmetric half-stencil
+    # (center + 4 offsets): f32 lane tiling pads the minor dim to 128, so
+    # five separate [K,Bq,64] tiles occupy 5*128 padded lanes while one
+    # [K,Bq,320] tile occupies 384 — the VPU processes padding too, so the
+    # concat is a ~1.7x cut in gated-distance element slots
+    offs = ((1, 0), (0, 1), (1, 1), (1, -1))
+    G = 1 + len(offs)
+    nbs = [jnp.arange(max_cells, dtype=jnp.int32)]     # center: identity
+    oks = [ucell != INT_MAX]
+    for dx, dy in offs:
         off = dx * SPAN + dy
         qk = jnp.where(ucell != INT_MAX, ucell + off, INT_MAX)
         nb = jnp.searchsorted(ucell, qk).astype(jnp.int32)
         nb = jnp.minimum(nb, max_cells - 1)
-        nb_ok = (ucell[nb] == qk) & (qk != INT_MAX)
-        cand = table[nb]                           # block-row gather
-        d2e = tile(cand, nb_ok)
+        nbs.append(nb)
+        oks.append((ucell[nb] == qk) & (qk != INT_MAX))
+    nb_all = jnp.stack(nbs, 1)                         # [K, G]
+    ok_all = jnp.stack(oks, 1)                         # [K, G]
+    GB = G * bucket
+    cand = table[nb_all].reshape(max_cells, GB, 7)     # block-row gather
+    cand_p = cand[:, :, 0:2]
+    cand_n = cand[:, :, 2:4]
+    cand_pose = cand[:, :, 4]
+    cand_fidx = cand[:, :, 5]
+    cand_occ = cand[:, :, 6] > 0.5
+    ok_flat = jnp.broadcast_to(
+        ok_all[:, :, None], (max_cells, G, bucket)
+    ).reshape(max_cells, GB)
 
-        dm, tm = fwd_reduce(d2e, cand)
-        upd = dm < best_d2[:max_cells]
-        best_d2 = best_d2.at[:max_cells].set(
-            jnp.where(upd, dm, best_d2[:max_cells]))
-        best_tgt = best_tgt.at[:max_cells].set(
-            jnp.where(upd, tm, best_tgt[:max_cells]))
+    # gated pairwise distances [K, Bq, G*B]: d2 = |q|^2 + |c|^2 - 2 q.c
+    # with the cross terms as ONE batched [K,Bq,2]@[K,2,G*B] matmul (MXU) —
+    # the broadcast-subtract-square form materializes a [K,Bq,G*B,2] tile at
+    # the VPU's ~40-90 G element-ops/s (NOTES.md), several times slower.
+    # Recentered coordinates are O(threshold), so |q|^2+|c|^2-2q.c loses at
+    # most ~|coords|^2*eps ~ 1e-8 — far under t2 = 0.0225.
+    bad = ~(ok_flat & cand_occ)
+    c_rel = jnp.where(bad[:, :, None], 1e3,
+                      cand_p - center[:, None, :])
+    cc = jnp.sum(c_rel * c_rel, -1)                    # [K, G*B]
+    cross = jnp.einsum("kqi,kci->kqc", q_rel, c_rel)
+    d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * cross
+    cos = jnp.einsum("kqi,kci->kqc", q_n, cand_n)
+    good = ((d2 < t2) & (cos > min_cos)
+            & (q_pose[:, :, None] != cand_pose[:, None, :]))
+    # select-gating + min/hit/max tie-break, NOT argmin/take_along_axis:
+    # measured 38.8 vs 60.0 ms/match — TPU lowers the variadic argmin
+    # reduce and axis-1 take_along_axis far worse than plain
+    # compare/select/max passes
+    d2e = jnp.where(good, d2, jnp.inf)                 # [K, Bq, G*B]
 
-        dmr = jnp.min(d2e, 1)                      # [K, Bc]: nb-cell queries
-        hitr = (d2e <= dmr[:, None, :]) & jnp.isfinite(dmr)[:, None, :]
+    # forward reduction: each query's best over all 5 candidate groups
+    dm = jnp.min(d2e, 2)
+    hit = (d2e <= dm[:, :, None]) & jnp.isfinite(dm)[:, :, None]
+    tm = jnp.max(jnp.where(hit, cand_fidx[:, None, :], -1.0), 2)
+    best_d2 = best_d2.at[:max_cells].set(dm)
+    best_tgt = best_tgt.at[:max_cells].set(tm)
+
+    # reverse reductions: each +offset tile also serves the opposite offset
+    # by reducing its slice over the QUERY axis and scattering to the
+    # neighbor's rows (nb is injective per offset -> collision-free), so the
+    # 3x3 neighborhood costs one forward + 4 sliced reverse reductions
+    for g in range(1, G):
+        sl = d2e[:, :, g * bucket:(g + 1) * bucket]
+        dmr = jnp.min(sl, 1)                           # [K, Bc]
+        hitr = (sl <= dmr[:, None, :]) & jnp.isfinite(dmr)[:, None, :]
         tmr = jnp.max(jnp.where(hitr, q_idx[:, :, None], -1.0), 1)
-        rows = jnp.where(nb_ok, nb, max_cells)
+        rows = jnp.where(oks[g], nbs[g], max_cells)
         old_d = best_d2[rows]
         old_t = best_tgt[rows]
         updr = dmr < old_d
