@@ -10,6 +10,10 @@ plus TPU-framework extensions:
   --replay-all        headless: replay every log entry, save results, exit
                       (the benchmark/regression mode; the reference needs a
                       human pressing 'l')
+  --replay-fused      same, but the whole log runs as fused device chains
+                      of up to 8 cycles with one host sync per chain
+                      (engine.run_queue — the serving mode for queued
+                      corrections)
   --gui               start the websocket GUI bridge and serve draw-lists
   --render PATH       write a PNG render of the (repaired) map
   --config PATH       load solver/engine parameters (hot-reloadable)
@@ -38,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-L", "--log", default=None)
     p.add_argument("-V", "--save", default="hitl_results.txt")
     p.add_argument("--replay-all", action="store_true")
+    p.add_argument("--replay-fused", action="store_true",
+                   help="replay the log as fused device chains (one "
+                        "dispatch per 8 cycles; see engine.run_queue)")
     p.add_argument("--gui", action="store_true")
     p.add_argument("--gui-port", type=int, default=8765)
     p.add_argument("--render", default=None)
@@ -220,6 +227,33 @@ def main(argv=None) -> int:
                     break
         total = time.perf_counter() - t_start
         print(f"auto-repair: {applied} corrections applied in {total:.2f} s")
+        if args.post_optimize:
+            rep = engine.post_optimize()
+            print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
+                  f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g}")
+        save_results()
+        write_info_mat()
+        render()
+        return 0
+
+    if args.replay_fused:
+        # serving mode: the whole log runs as fused device chains of up to
+        # 8 cycles with ONE host sync per chain (engine.run_queue) — the
+        # product form of the bench's pipelined-cycle headline
+        live = [e for e in input_log if not e.undone]
+        t_start = time.perf_counter()
+        reports = engine.run_queue(live)
+        total = time.perf_counter() - t_start
+        for i, (entry, rep) in enumerate(zip(live, reports)):
+            status = "ok" if rep.accepted else f"rejected: {rep.reason}"
+            print(f"[{i}] {entry.correction_type.name}: {status} "
+                  f"(lm_iters={rep.lm_iterations}, "
+                  f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g})")
+        n_ok = sum(r.accepted for r in reports)
+        print(f"fused-replayed {len(live)} corrections "
+              f"({n_ok} accepted) in {total:.2f} s "
+              f"({total * 1e3 / max(len(live), 1):.1f} ms/cycle incl. "
+              f"one dispatch per 8-cycle chain)")
         if args.post_optimize:
             rep = engine.post_optimize()
             print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "

@@ -141,3 +141,56 @@ def cycle_step(
         lm_final_cost=lm.final_cost,
         pre_solve_poses=poses2,
     )
+
+
+@partial(jax.jit, static_argnames=("lm_config",))
+def queue_chain(
+    points: Array,        # [P,N,2] robot frame
+    point_mask: Array,    # [P,N]
+    poses: Array,         # [P,3]
+    covariances: Array,   # [P,3,3]
+    constraints: ConstraintTable,
+    ctypes: Array,        # [K] int32 per-cycle correction types
+    sels: Array,          # [K,4,2] per-cycle clicked points (world frame)
+    n0: Array,            # scalar int32 constraint-table write cursor
+    lm_config: LMConfig = LMConfig(),
+):
+    """K correction cycles fused into ONE device program (lax.scan).
+
+    The serving shape for queued corrections: per-cycle host dispatch costs
+    ~25-40 ms through this harness's remote relay — more than the entire
+    cycle — so a batch of queued corrections (log replay, auto-repair
+    rounds, multi-user queues) runs the whole chain device-resident and
+    syncs once. Pad the queue with no-op cycles (all-zero selections are
+    degenerate => verified False => identity) so ONE compiled program
+    serves any queue length up to K.
+
+    Rejected / non-finite cycles leave the carried state untouched exactly
+    like the host path (engine._cycle early-returns): the carry adopts a
+    cycle's outputs only when it verified, ordered, and solved finite.
+
+    Returns (poses, covariances, constraints, n_end, per_cycle) where
+    per_cycle stacks [K] arrays: (accepted, verified, order_valid, n_new,
+    lm_iterations, lm_initial_cost, lm_final_cost).
+    """
+
+    def step(carry, x):
+        poses, covs, table, n = carry
+        ctype, sel = x
+        out = cycle_step(points, point_mask, poses, covs, table, ctype,
+                         sel, n, lm_config=lm_config)
+        ok = (out.verified & out.order_valid
+              & jnp.isfinite(out.lm_final_cost))
+        poses2 = jnp.where(ok, out.poses, poses)
+        covs2 = jnp.where(ok, out.covariances, covs)
+        # the rejected-cycle table may carry freshly-written INACTIVE rows
+        # at the unadvanced cursor; drop them like the host path does
+        table2 = lax.cond(ok, lambda: out.constraints, lambda: table)
+        n_new = jnp.where(ok, out.num_new_constraints, 0)
+        ys = (ok, out.verified, out.order_valid, n_new,
+              out.lm_iterations, out.lm_initial_cost, out.lm_final_cost)
+        return (poses2, covs2, table2, n + n_new), ys
+
+    (poses, covariances, constraints, n_end), per_cycle = lax.scan(
+        step, (poses, covariances, constraints, n0), (ctypes, sels))
+    return poses, covariances, constraints, n_end, per_cycle

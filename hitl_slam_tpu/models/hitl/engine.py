@@ -320,6 +320,101 @@ class HitLSLAM:
         self.reset_correction_inputs()
         return report
 
+    def run_queue(self, inputs: list[SingleInput],
+                  chain_capacity: int = 8,
+                  record: bool = False) -> list[CycleReport]:
+        """Execute queued corrections as fused device chains (serving mode).
+
+        Each chunk of up to `chain_capacity` corrections runs as ONE device
+        program (cycle.queue_chain) with a single host sync — the batch
+        analog of the GUI's speculative dispatch, and the product form of
+        the bench's pipelined-cycle headline (per-cycle dispatch costs more
+        than the cycle itself through the TPU tunnel). Queues shorter than
+        the chunk are padded with no-op cycles so one compiled program
+        serves every length. Per-cycle accept/reject semantics (including
+        non-finite-solve recovery) match sequential replay_log bit-for-bit;
+        undo() restores the state before the WHOLE queue (the reference's
+        single-depth snapshot, HitLSLAM.cpp:262-276)."""
+        from .cycle import queue_chain
+
+        if not inputs:
+            return []
+        st = self.state
+        self.prev_poses = st.poses
+        self.prev_covariances = st.covariances
+        self.prev_num_constraints = self.num_constraints
+        reports: list[CycleReport] = []
+        for lo in range(0, len(inputs), chain_capacity):
+            chunk = inputs[lo:lo + chain_capacity]
+            ctypes = np.zeros(chain_capacity, np.int32)
+            sels = np.zeros((chain_capacity, 4, 2), np.float32)
+            ctypes[:] = int(CorrectionType.COLINEAR)   # all-zero sel = no-op
+            live = []
+            for i, s in enumerate(chunk):
+                sel_p = self._prepare_sel(s.correction_type,
+                                          np.asarray(s.points, np.float32))
+                if sel_p is None:
+                    live.append(None)
+                    continue
+                ctypes[i] = int(s.correction_type)
+                sels[i] = sel_p
+                live.append(sel_p)
+            st = self.state
+            timer = FunctionTimer("queue")
+            poses, covs, table, n_end, per = queue_chain(
+                st.points, st.point_mask, st.poses, st.covariances,
+                st.constraints, jnp.asarray(ctypes), jnp.asarray(sels),
+                jnp.asarray(self.num_constraints, jnp.int32),
+                lm_config=self.lm_config,
+            )
+            ok, ver, ordv, n_new, lm_it, c0, c1 = jax.device_get(per)
+            timer.lap("queue_chain")
+            for i, s in enumerate(chunk):
+                self.num_completed_cycles += 1
+                if live[i] is None:
+                    reports.append(CycleReport(
+                        False, "unsupported selection shape"))
+                    continue
+                if record and bool(ver[i]):
+                    self.input_history.append(
+                        SingleInput(s.correction_type, 0, live[i].copy()))
+                if not bool(ver[i]):
+                    reports.append(CycleReport(
+                        False, "input not verified near observations"))
+                elif not bool(ordv[i]):
+                    reports.append(CycleReport(
+                        False, "selection overlap / no backprop window",
+                        points_verified=4))
+                elif not bool(ok[i]):
+                    reports.append(CycleReport(
+                        False, "solver diverged (non-finite cost); "
+                        "state preserved"))
+                else:
+                    reports.append(CycleReport(
+                        True, points_verified=4,
+                        num_new_constraints=int(n_new[i]),
+                        lm_iterations=int(lm_it[i]),
+                        initial_cost=float(c0[i]),
+                        final_cost=float(c1[i]),
+                        timings_ms=timer.laps_ms()))
+            self.num_constraints += int(np.sum(n_new))
+            cap = st.constraints.capacity - 1
+            if self.num_constraints > cap:
+                import sys
+
+                dropped = self.num_constraints - cap
+                print(f"WARNING: constraint table full ({cap}); "
+                      f"{dropped} rows dropped. "
+                      f"Increase constraint_capacity.", file=sys.stderr)
+                self.num_constraints = cap
+            self.state = MapState(
+                poses=poses, covariances=covs,
+                points=st.points, normals=st.normals,
+                point_mask=st.point_mask,
+                odometry=st.odometry, constraints=table,
+            )
+        return reports
+
     def replay_log(self, logged: SingleInput,
                    record: bool = False) -> CycleReport:
         """Re-execute one logged correction (HitLSLAM::replayLog).

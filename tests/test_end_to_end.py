@@ -260,3 +260,46 @@ def test_dropped_rows_reported_on_full_table(drifted_map):
     assert eng.num_constraints == 31
     t = eng.state.constraints
     assert not bool(np.asarray(t.active)[-1])
+
+
+def test_run_queue_matches_sequential_replay(drifted_map):
+    """The fused queue chain (cycle.queue_chain via engine.run_queue) must
+    reproduce sequential replay_log bit-for-bit: same accept/reject flags,
+    same constraint count, identical poses/covariances — including a
+    rejected cycle in the middle of the queue and no-op padding (the queue
+    is shorter than the chain capacity)."""
+    m = drifted_map
+    good = _make_correction(m, CorrectionType.COLINEAR)
+    # an unverifiable correction (selection far from any observation)
+    far = SingleInput(
+        CorrectionType.COLINEAR, 0,
+        np.array([[90.0, 90.0], [91.0, 90.0],
+                  [90.0, 91.0], [91.0, 91.0]], np.float32))
+    queue = [good, far, _make_correction(m, CorrectionType.PARALLEL)]
+
+    eng_seq = HitLSLAM()
+    eng_seq.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+                 constraint_capacity=1024)
+    seq_reports = [eng_seq.replay_log(s) for s in queue]
+
+    eng_q = HitLSLAM()
+    eng_q.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+               constraint_capacity=1024)
+    q_reports = eng_q.run_queue(queue, record=True)
+
+    assert [r.accepted for r in q_reports] == \
+        [r.accepted for r in seq_reports]
+    assert q_reports[1].reason.startswith("input not verified")
+    for rs, rq in zip(seq_reports, q_reports):
+        assert rs.num_new_constraints == rq.num_new_constraints
+        assert rs.lm_iterations == rq.lm_iterations
+    assert eng_q.num_constraints == eng_seq.num_constraints
+    np.testing.assert_array_equal(np.asarray(eng_q.get_poses()),
+                                  np.asarray(eng_seq.get_poses()))
+    np.testing.assert_array_equal(np.asarray(eng_q.get_covariances()),
+                                  np.asarray(eng_seq.get_covariances()))
+    # undo restores the pre-queue state (single-depth snapshot covers the
+    # whole queue)
+    eng_q.undo()
+    np.testing.assert_array_equal(np.asarray(eng_q.get_poses()),
+                                  np.asarray(m.poses, np.float32))
