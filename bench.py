@@ -586,7 +586,7 @@ def main():
         import sys; print(f'[bench] hitl 8192 session skipped: {e}', file=sys.stderr)
 
     # ---- post-human STF refinement (the reference's dormant stage, live) --
-    post_opt_ms = post_opt_matches = -1
+    post_opt_ms = post_opt_matches = post_opt_dropped = -1
     try:
         if not extras_ok:
             raise TimeoutError('budget')
@@ -606,6 +606,7 @@ def main():
         _jax.block_until_ready(outr.poses)
         post_opt_ms = (time.perf_counter() - t0) * 1e3
         post_opt_matches = int(np.asarray(outr.num_matches))
+        post_opt_dropped = int(np.asarray(outr.match_dropped))
     except Exception as e:
         import sys; print(f'[bench] post-optimize skipped: {e}', file=sys.stderr)
 
@@ -678,6 +679,7 @@ def main():
             **hitl8192,
             "post_optimize_stf_refine_ms": round(post_opt_ms, 2),
             "post_optimize_stf_matches": post_opt_matches,
+            "post_optimize_match_dropped": post_opt_dropped,
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(

@@ -301,6 +301,9 @@ class HitLSLAM:
             lm_iterations=int(out.iterations),
             initial_cost=float(out.initial_cost),
             final_cost=float(out.final_cost),
+            # grid-matcher density-cap/out-of-range drops (observability;
+            # ADVICE r2 rule: capacity violations must be detectable)
+            dropped_rows=int(out.match_dropped),
         )
 
     # -- the correction cycle ----------------------------------------------

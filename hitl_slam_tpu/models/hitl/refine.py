@@ -46,4 +46,9 @@ def post_human_refine(
     if solver == "auto":
         solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense"
     fn = stf_pcg_lm_solve if solver == "pcg" else stf_lm_solve
-    return fn(poses, table, stf, config=config, include_chain=include_chain)
+    out = fn(poses, table, stf, config=config, include_chain=include_chain)
+    import dataclasses
+
+    # surface the matcher's density-cap/out-of-range drop count so capacity
+    # violations on new datasets are detectable (ADVICE r2 rule)
+    return dataclasses.replace(out, match_dropped=matches.dropped)

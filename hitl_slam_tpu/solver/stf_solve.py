@@ -321,6 +321,10 @@ class STFSolveResult:
     # only the dense path compacts — ADVICE r2: capacity violations must be
     # detectable, not silent)
     pairs_dropped: Array | None = None
+    # points the grid matcher density-capped or masked out of range
+    # (Matches.dropped surfaced through the refine path; same ADVICE-r2
+    # detectability rule — a capped cell silently weakens correspondences)
+    match_dropped: Array | None = None
 
 
 # ---------------------------------------------------------------------------
