@@ -257,6 +257,9 @@ def test_refine_aligns_offset_wall(rng):
     out = post_human_refine(points, normals, mask, poses, table,
                             capacity=512, config=LMConfig(max_iterations=20))
     assert int(out.num_matches) > 50
+    # the matcher's density-cap/out-of-range drop count is surfaced on the
+    # refine result (ADVICE r2: capacity violations must be detectable)
+    assert int(out.match_dropped) == 0
     assert float(out.final_cost) < float(out.initial_cost)
     # pose1's y should shrink toward 0 (the odometry chain resists some)
     y1 = float(out.poses[1, 1])
@@ -272,6 +275,8 @@ def test_post_optimize_on_session(small_map):
              constraint_capacity=256)
     rep = eng.post_optimize(max_iterations=10)
     assert rep.accepted
+    # engine forwards the matcher drop count as CycleReport.dropped_rows
+    assert rep.dropped_rows == 0
     poses = eng.get_poses()
     assert np.isfinite(poses).all()
     assert rep.final_cost <= rep.initial_cost * 1.0 + 1e-6
