@@ -158,14 +158,25 @@ def test_cli_enml_domain_flag(tmp_path, capsys):
     from hitl_slam_tpu.cli_enml import main as enml_main
 
     out = str(tmp_path / "o")
+    # layer a size-only override AFTER the reference cfgs: freiburg's
+    # max_history=80 window and max_solver_iterations=50 cost a ~5 min
+    # localizer compile on one CPU core (the GN steps are unrolled for TPU
+    # pipelining, so compile time is linear in gn_iterations x window
+    # size), and neither is what this test asserts — domain resolution
+    # (match_threshold) and config layering are
+    small = tmp_path / "small.toml"
+    small.write_text("[NonMarkovLocalization]\nmax_history = 8\n"
+                     "max_solver_iterations = 12\n")
     argv = ["--synthetic", "--steps", "24", "-o", out]
-    for c in REF_CFGS:
+    for c in REF_CFGS + [str(small)]:
         argv += ["--config", c]
     rc = enml_main(argv + ["--domain", "freiburg"])
     assert rc == 0
     cap = capsys.readouterr().out
     assert "domain='freiburg'" in cap
     assert "match_threshold=0.25" in cap
+    # the later config file won the per-key merge (layering semantics)
+    assert "max_history=8" in cap
     # the orebro-domain PARAMETER resolution is asserted compile-free in
     # test_options_from_reference_table (a second full localizer compile
     # at different EnmlOptions costs ~4 min of CPU suite time)
