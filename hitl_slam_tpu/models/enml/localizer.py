@@ -61,6 +61,14 @@ class EnmlOptions:
     odometry_angular_min_stddev: float = 0.0001
     odometry_angular_max_stddev: float = 0.5
     damping: float = 1e-4
+    # GN-step loop codegen: None = fully unroll (default; nested sequential
+    # lax loops under the outer window scan don't pipeline on TPU). A
+    # positive value k caps the unroll via lax.fori_loop(unroll=k): compile
+    # time drops from O(gn_iterations) to O(k) program bodies — the
+    # reference's freiburg/orebro domains set max_solver_iterations=50,
+    # which costs ~3 min of XLA CPU compile fully unrolled (measured;
+    # linear in gn_iterations x window body size).
+    gn_unroll: int | None = None
 
 
 def _odometry_targets(initial_poses: Array, o: EnmlOptions):
@@ -311,9 +319,14 @@ def _window_gn(
             step = jnp.linalg.solve(Hd, -g).reshape(W, 3)
             return poses + step
 
-        # unrolled: nested sequential lax loops don't pipeline on TPU
-        for _ in range(n_iter):
-            poses = gn_step(poses)
+        # unrolled by default: nested sequential lax loops don't pipeline
+        # on TPU; gn_unroll caps compile cost for big-iteration configs
+        if o.gn_unroll is None or o.gn_unroll >= n_iter or n_iter == 0:
+            for _ in range(n_iter):
+                poses = gn_step(poses)
+        else:
+            poses = lax.fori_loop(0, n_iter, lambda _i, p: gn_step(p),
+                                  poses, unroll=o.gn_unroll)
         H_final, _ = system(poses)
         return poses, H_final
 

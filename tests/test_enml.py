@@ -218,6 +218,25 @@ def test_checkerboard_grid_matcher_path(small_episode_state):
     assert np.abs(pb - pg).max() < 0.05, np.abs(pb - pg).max()
 
 
+def test_gn_unroll_matches_full_unroll(small_episode_state):
+    """gn_unroll=k (fori_loop codegen, compile O(k) instead of
+    O(gn_iterations)) computes the same sweep as the fully-unrolled
+    default — same math, different loop lowering."""
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions, batch_localize
+
+    st, poses0, pcs = small_episode_state
+    o_full = EnmlOptions(gn_iterations=6, match_rounds=1)
+    o_capped = EnmlOptions(gn_iterations=6, match_rounds=1, gn_unroll=2)
+    pf, cf = batch_localize(st.points, st.normals, st.point_mask,
+                            st.poses, o_full)
+    pc_, cc = batch_localize(st.points, st.normals, st.point_mask,
+                             st.poses, o_capped)
+    pf, pc_ = np.asarray(pf), np.asarray(pc_)
+    assert np.isfinite(pc_).all()
+    np.testing.assert_allclose(pc_, pf, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cc), np.asarray(cf), atol=1e-4)
+
+
 def test_checkerboard_match_capacity_probe(small_episode_state):
     """probe_match_capacity surfaces grid-matcher capacity violations
     (ADVICE r2): zero dropped on the shipped config-scale windows."""
