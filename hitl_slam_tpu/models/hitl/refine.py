@@ -37,7 +37,7 @@ def post_human_refine(
     capacity: int = 65536,
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
-    solver: str = "auto",   # "dense" | "pcg" | "auto" (pcg above 2k poses)
+    solver: str = "auto",   # "dense" | "dense_fused" | "pcg" | "auto"
 ) -> STFSolveResult:
     world = pose_to_world(poses[:, None, :], points)
     world_nrm = rotate(poses[:, 2][:, None], normals)
@@ -45,7 +45,13 @@ def post_human_refine(
     stf = C.build_stf_factors(points, normals, matches, capacity=capacity)
     if solver == "auto":
         solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense"
-    fn = stf_pcg_lm_solve if solver == "pcg" else stf_lm_solve
+    if solver == "pcg":
+        fn = stf_pcg_lm_solve
+    elif solver == "dense_fused":
+        # single-factor-pass trial evaluation (see stf_lm_solve docstring)
+        fn = partial(stf_lm_solve, fused_eval=True)
+    else:
+        fn = stf_lm_solve
     out = fn(poses, table, stf, config=config, include_chain=include_chain)
     import dataclasses
 

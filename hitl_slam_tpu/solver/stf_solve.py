@@ -444,14 +444,25 @@ def stf_pcg_lm_solve(
     )
 
 
-@partial(jax.jit, static_argnames=("config", "include_chain"))
+@partial(jax.jit, static_argnames=("config", "include_chain", "fused_eval"))
 def stf_lm_solve(
     poses0: Array,
     table: ConstraintTable,
     stf: C.STFFactors,
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
+    fused_eval: bool = False,
 ) -> STFSolveResult:
+    """Dense STF LM.
+
+    `fused_eval=True` evaluates the trial cost FROM the assembly
+    (assemble_dense returns cost as a byproduct of the same factor pass):
+    one [C]-row pass per iteration instead of cost_only + a second assembly
+    pass on accepted steps. The trade: rejected steps pay the full assembly
+    (MXU contractions + off-diag scatter) where the two-pass form pays only
+    the residual reduction — profitable when the acceptance rate is high
+    (the typical fine-alignment regime). Default False until TPU-measured.
+    """
     dtype = poses0.dtype
     problem = build_problem(poses0, table)
 
@@ -465,7 +476,6 @@ def stf_lm_solve(
         r = C.stf_residuals(stf, x)
         return c + 0.5 * jnp.sum(r * r)
 
-    c0 = cost_only(poses0)
     # once per solve: pair-sort the factor table (collision-free off-diag
     # assembly), build the [C,P] one-hot selectors from the sorted table,
     # and compact the pair-representative rows (scatter cost is per index
@@ -477,18 +487,21 @@ def stf_lm_solve(
     cidx, cbi, cbj, pairs_dropped = compact_pair_rows(stf, run_last, P_)
     pair_compact = (cidx, cbi, cbj)
 
+    def assemble_cost(x):
+        return assemble_dense(problem, stf, x, include_chain, onehots,
+                              pair_runs, pair_compact)
+
     def assemble(x):
-        H, g, _ = assemble_dense(problem, stf, x, include_chain, onehots,
-                                 pair_runs, pair_compact)
+        H, g, _ = assemble_cost(x)
         return H, g
 
-    H0, g0 = assemble(poses0)
+    if fused_eval:
+        H0, g0, c0 = assemble_cost(poses0)
+    else:
+        c0 = cost_only(poses0)
+        H0, g0 = assemble(poses0)
 
-    def body(state):
-        x, H, g, mu, nu, c, it, done = state
-        # H, g are always valid at the current x: a REJECTED step leaves x
-        # unchanged, so only mu changes and the (dominant) assembly is
-        # skipped — lax.cond below re-assembles on accepted steps only
+    def _solve_step(H, g, mu):
         diag = jnp.clip(jnp.diagonal(H), config.min_diagonal,
                         config.max_diagonal)
         Hd = H + mu * jnp.diag(diag)
@@ -499,24 +512,51 @@ def stf_lm_solve(
         y = jax.scipy.linalg.solve_triangular(L, -g[:, None], lower=True)
         step = jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(L, -1, -2), y, lower=False)[:, 0]
-        x_new = x + step.reshape(-1, 3)
-        c_new = cost_only(x_new)
+        return step, diag
+
+    def _updates(c, c_new, step, diag, g, mu, nu, x):
         pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
         rho = (c - c_new) / jnp.maximum(pred, 1e-30)
         accept = (rho > 0) & jnp.isfinite(c_new)
-        x = jnp.where(accept, x_new, x)
-        c_next = jnp.where(accept, c_new, c)
-        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
-        mu = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
-        nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+        factor = jnp.maximum(1.0 / 3.0,
+                             1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
+        mu_out = jnp.clip(jnp.where(accept, mu * factor, mu * nu),
+                          1e-32, 1e32)
+        nu_out = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
         fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
         sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
                           * (jnp.linalg.norm(x) + config.parameter_tolerance))
-        mdone = mu >= config.mu_collapse
-        done = done | fdone | sdone | mdone
+        mdone = mu_out >= config.mu_collapse
+        return accept, mu_out, nu_out, fdone | sdone | mdone
+
+    def body(state):
+        x, H, g, mu, nu, c, it, done = state
+        # H, g are always valid at the current x: a REJECTED step leaves x
+        # unchanged, so only mu changes and the (dominant) assembly is
+        # skipped — lax.cond below re-assembles on accepted steps only
+        step, diag = _solve_step(H, g, mu)
+        x_new = x + step.reshape(-1, 3)
+        c_new = cost_only(x_new)
+        accept, mu, nu, done_new = _updates(c, c_new, step, diag, g, mu, nu, x)
+        x = jnp.where(accept, x_new, x)
+        c_next = jnp.where(accept, c_new, c)
+        done = done | done_new
         H, g = lax.cond(accept & ~done,
                         lambda xx: assemble(xx), lambda xx: (H, g), x)
         return x, H, g, mu, nu, c_next, it + 1, done
+
+    def body_fused(state):
+        x, H, g, mu, nu, c, it, done = state
+        step, diag = _solve_step(H, g, mu)
+        x_new = x + step.reshape(-1, 3)
+        # ONE factor pass: trial H/g/cost together; keep them only on accept
+        H_new, g_new, c_new = assemble_cost(x_new)
+        accept, mu, nu, done_new = _updates(c, c_new, step, diag, g, mu, nu, x)
+        x = jnp.where(accept, x_new, x)
+        c_next = jnp.where(accept, c_new, c)
+        H = jnp.where(accept, H_new, H)
+        g = jnp.where(accept, g_new, g)
+        return x, H, g, mu, nu, c_next, it + 1, done | done_new
 
     def cond(state):
         return (state[6] < config.max_iterations) & ~state[7]
@@ -524,7 +564,8 @@ def stf_lm_solve(
     init = (poses0, H0, g0, jnp.asarray(config.initial_mu, dtype),
             jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
             jnp.asarray(False))
-    x, _, _, _, _, c, it, _ = lax.while_loop(cond, body, init)
+    x, _, _, _, _, c, it, _ = lax.while_loop(
+        cond, body_fused if fused_eval else body, init)
     return STFSolveResult(
         poses=x, final_cost=c, initial_cost=c0, iterations=it,
         num_matches=jnp.sum(stf.valid), pairs_dropped=pairs_dropped,

@@ -266,6 +266,40 @@ def test_refine_aligns_offset_wall(rng):
     assert abs(y1) < 0.05, y1
 
 
+def test_refine_dense_fused_matches_dense(rng):
+    """solver='dense_fused' (one factor pass per LM iteration, trial cost
+    from the assembly) converges to the same refinement as the two-pass
+    dense default — same cost math, different evaluation schedule."""
+    from hitl_slam_tpu.core.state import ConstraintTable
+    from hitl_slam_tpu.models.hitl.refine import post_human_refine
+    from hitl_slam_tpu.solver.lm import LMConfig
+
+    n = 64
+    x = np.linspace(0.0, 3.0, n)
+    wall = np.stack([x, np.zeros(n)], -1).astype(np.float32)
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    points = jnp.asarray(np.stack([wall, wall]))
+    normals = jnp.asarray(np.stack([nrm, nrm]))
+    mask = jnp.ones((2, n), bool)
+    poses = jnp.asarray(np.array([[0, 0, 0], [0.0, 0.05, 0.0]], np.float32))
+    table = ConstraintTable.empty(8)
+    cfg = LMConfig(max_iterations=20)
+
+    out_d = post_human_refine(points, normals, mask, poses, table,
+                              capacity=512, config=cfg, solver="dense")
+    out_f = post_human_refine(points, normals, mask, poses, table,
+                              capacity=512, config=cfg, solver="dense_fused")
+    np.testing.assert_allclose(np.asarray(out_f.initial_cost),
+                               np.asarray(out_d.initial_cost), rtol=1e-5)
+    assert float(out_f.final_cost) < float(out_f.initial_cost)
+    # identical accept/reject path up to fp association differences in the
+    # cost reduction -> same pose fix to tight tolerance
+    np.testing.assert_allclose(np.asarray(out_f.poses),
+                               np.asarray(out_d.poses), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f.final_cost),
+                               np.asarray(out_d.final_cost), rtol=1e-3)
+
+
 def test_post_optimize_on_session(small_map):
     from hitl_slam_tpu.models.hitl.engine import HitLSLAM
 
