@@ -329,41 +329,121 @@ class STFSolveResult:
 
 # ---------------------------------------------------------------------------
 # matrix-free path: PCG on (chain tridiagonal + STF diag) with the STF
-# off-diagonal coupling applied factor-wise — no [3P,3P] ever materializes.
-# At P=8192 the dense Hessian would be 2.4 GB; this path is O(P + C).
+# off-diagonal coupling applied PAIR-BLOCK-wise — no [3P,3P] ever
+# materializes. At P=8192 the dense Hessian would be 2.4 GB; this path is
+# O(P + C) per LM iteration and O(P + n_pairs) per CG iteration.
+#
+# Everything is collision-free (TPU scatter-add serializes colliding
+# updates — the measured pathology the dense path's pair-sort removed):
+# per-pose and per-pair reductions ride sorted-run segmented sums
+# (_segmented_pair_sums) followed by unique-target scatters, and the CG
+# matvec works on the <=max_pairs compacted 3x3 pair blocks instead of the
+# [C]-row factor table.
 # ---------------------------------------------------------------------------
 
-def _stf_diag_and_gradient(stf: C.STFFactors, poses: Array):
-    """Per-pose STF Hessian diagonal blocks [P,3,3] and gradient [P,3];
-    pose 0 contributions zeroed (gauge)."""
-    P = poses.shape[0]
-    r = C.stf_residuals(stf, poses)
-    J0, J1 = C.stf_jacobians(stf, poses)
-    J0T, J1T = jnp.swapaxes(J0, -1, -2), jnp.swapaxes(J1, -1, -2)
-    Dh = jnp.zeros((P, 3, 3), poses.dtype)
-    Dh = Dh.at[stf.pose0].add(J0T @ J0).at[stf.pose1].add(J1T @ J1)
-    g = jnp.zeros((P, 3), poses.dtype)
-    g = g.at[stf.pose0].add((J0T @ r[..., None])[..., 0])
-    g = g.at[stf.pose1].add((J1T @ r[..., None])[..., 0])
+_INT32_MAX = 2147483647
+
+
+def _sorted_runs(keys: Array, size: int):
+    """Run boundaries over an ASCENDING-sorted int32 key vector (invalid
+    rows = INT32_MAX, sorted to the tail). Returns (run_start [N] — index
+    of each row's run head, rep_idx [size] — row index of each run's LAST
+    row, fill=N for unused slots — gather through a zero-padded array)."""
+    N = keys.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    is_new = (pos == 0) | (keys != jnp.roll(keys, 1))
+    run_start = lax.cummax(jnp.where(is_new, pos, 0))
+    valid = keys != _INT32_MAX
+    run_last = ((pos == N - 1) | (keys != jnp.roll(keys, -1))) & valid
+    rep_idx = jnp.nonzero(run_last, size=size,
+                          fill_value=N)[0].astype(jnp.int32)
+    return run_start, rep_idx
+
+
+def _pcg_reductions(stf_s: C.STFFactors, run_start_pair: Array,
+                    pair_compact: tuple, P: int):
+    """Once-per-solve orderings for the collision-free PCG assembly/matvec.
+
+    `stf_s` must be pair-sorted (sort_factors_by_pair), so pose0 is already
+    ascending; pose1 needs its own permutation. The compacted pair table
+    (cbi ascending by construction) gets bi-runs directly and bj-runs via a
+    second <=max_pairs permutation."""
+    cidx, cbi, cbj = pair_compact
+    key0 = jnp.where(stf_s.valid, stf_s.pose0, _INT32_MAX)
+    run_start_p0, rep_p0 = _sorted_runs(key0, P)
+    oobP = jnp.full((1,), P, jnp.int32)
+    dst_p0 = jnp.concatenate([stf_s.pose0, oobP])[rep_p0]
+    key1 = jnp.where(stf_s.valid, stf_s.pose1, _INT32_MAX)
+    ord1 = jnp.argsort(key1).astype(jnp.int32)
+    run_start_p1, rep_p1 = _sorted_runs(key1[ord1], P)
+    dst_p1 = jnp.concatenate([stf_s.pose1[ord1], oobP])[rep_p1]
+    # pair-table runs: grouped by destination pose0 (bi) and pose1 (bj)
+    run_start_bi, rep_bi = _sorted_runs(
+        jnp.where(cbi < P, cbi, _INT32_MAX), P)
+    dst_bi = jnp.concatenate([cbi, oobP])[rep_bi]
+    ordp1 = jnp.argsort(jnp.where(cbj < P, cbj, _INT32_MAX)).astype(jnp.int32)
+    cbj_o = cbj[ordp1]
+    cbi_o = cbi[ordp1]
+    run_start_bj, rep_bj = _sorted_runs(
+        jnp.where(cbj_o < P, cbj_o, _INT32_MAX), P)
+    dst_bj = jnp.concatenate([cbj_o, oobP])[rep_bj]
+    return dict(run_start_pair=run_start_pair, cidx=cidx, cbi=cbi, cbj=cbj,
+                run_start_p0=run_start_p0, rep_p0=rep_p0, dst_p0=dst_p0,
+                ord1=ord1, run_start_p1=run_start_p1, rep_p1=rep_p1,
+                dst_p1=dst_p1, run_start_bi=run_start_bi, rep_bi=rep_bi,
+                dst_bi=dst_bi, ordp1=ordp1, cbi_o=cbi_o,
+                run_start_bj=run_start_bj, rep_bj=rep_bj, dst_bj=dst_bj)
+
+
+def _stf_system_compact(stf_s: C.STFFactors, x: Array, red: dict):
+    """Per-pose STF diag blocks [P,3,3] + gradient [P,3] + cost, and the
+    compacted per-pair off-diagonal blocks B [max_pairs,3,3] — one
+    [C]-row factor pass, every reduction a segmented sum + unique scatter.
+    Pose-0 contributions zeroed (gauge)."""
+    P = x.shape[0]
+    dtype = x.dtype
+    X0, X1, X2, sq = _stf_scalar_products(stf_s, x)
+    z12 = jnp.zeros((1, 12), dtype)
+    seg0 = _segmented_pair_sums(X0, red["run_start_p0"])
+    Y0 = jnp.concatenate([seg0, z12], 0)[red["rep_p0"]]       # [P, 12]
+    Dh = jnp.zeros((P, 3, 3), dtype).at[red["dst_p0"]].set(
+        Y0[:, :9].reshape(-1, 3, 3), mode="drop", unique_indices=True)
+    g = jnp.zeros((P, 3), dtype).at[red["dst_p0"]].set(
+        Y0[:, 9:], mode="drop", unique_indices=True)
+    seg1 = _segmented_pair_sums(X1[red["ord1"]], red["run_start_p1"])
+    Y1 = jnp.concatenate([seg1, z12], 0)[red["rep_p1"]]
+    Dh = Dh.at[red["dst_p1"]].add(Y1[:, :9].reshape(-1, 3, 3),
+                                  mode="drop", unique_indices=True)
+    g = g.at[red["dst_p1"]].add(Y1[:, 9:], mode="drop", unique_indices=True)
+    segp = _segmented_pair_sums(X2, red["run_start_pair"])
+    B = jnp.concatenate([segp, jnp.zeros((1, 9), dtype)], 0)[red["cidx"]]
     Dh = Dh.at[0].set(0.0)
     g = g.at[0].set(0.0)
-    cost = 0.5 * jnp.sum(r * r)
-    return Dh, g, cost, (J0, J1)
+    return Dh, g, 0.5 * jnp.sum(sq), B.reshape(-1, 3, 3)
 
 
-def _stf_offdiag_matvec(stf: C.STFFactors, J0: Array, J1: Array):
-    """v [P,3] -> off-diagonal STF Hessian product (J0^T J1 v1 at pose0 +
-    J1^T J0 v0 at pose1), gauge row 0 projected out."""
+def _pair_block_matvec(B: Array, red: dict, P: int):
+    """v [P,3] -> off-diagonal STF Hessian product from the compacted pair
+    blocks: out[bi] += B v[bj], out[bj] += B^T v[bi]; gauge row 0 projected
+    out. O(max_pairs) per call — the CG hot loop never touches [C] rows."""
+    cbj = red["cbj"]
+    cbi_o = red["cbi_o"]
+    Bt = B[red["ordp1"]]
 
     def mv(v):
-        P = v.shape[0]
         vz = v.at[0].set(0.0)
-        v0 = vz[stf.pose0][..., None]          # [C,3,1]
-        v1 = vz[stf.pose1][..., None]
-        a = jnp.swapaxes(J0, -1, -2) @ (J1 @ v1)   # [C,3,1]
-        b = jnp.swapaxes(J1, -1, -2) @ (J0 @ v0)
-        out = jnp.zeros((P, 3), v.dtype)
-        out = out.at[stf.pose0].add(a[..., 0]).at[stf.pose1].add(b[..., 0])
+        # fill rows carry zero blocks, so the clamped OOB gather is harmless
+        y = jnp.einsum("kab,kb->ka", B, vz[jnp.minimum(cbj, P - 1)])
+        segy = _segmented_pair_sums(y, red["run_start_bi"])
+        Yb = jnp.concatenate([segy, jnp.zeros((1, 3), v.dtype)],
+                             0)[red["rep_bi"]]
+        out = jnp.zeros((P, 3), v.dtype).at[red["dst_bi"]].set(
+            Yb, mode="drop", unique_indices=True)
+        yt = jnp.einsum("kab,ka->kb", Bt, vz[jnp.minimum(cbi_o, P - 1)])
+        segyt = _segmented_pair_sums(yt, red["run_start_bj"])
+        Yt = jnp.concatenate([segyt, jnp.zeros((1, 3), v.dtype)],
+                             0)[red["rep_bj"]]
+        out = out.at[red["dst_bj"]].add(Yt, mode="drop", unique_indices=True)
         return out.at[0].set(0.0)
 
     return mv
@@ -378,7 +458,13 @@ def stf_pcg_lm_solve(
     include_chain: bool = True,
 ) -> STFSolveResult:
     """Matrix-free LM: same problem as stf_lm_solve, linear solves by
-    block-Jacobi PCG (solver/cg.py) instead of a dense factorization."""
+    block-Jacobi PCG (solver/cg.py) instead of a dense factorization.
+
+    The Hessian action is applied through the compacted pair blocks
+    (<=max_pairs 3x3 blocks, _pair_block_matvec), so a CG iteration costs
+    O(P + n_pairs) with zero colliding scatters — the [C]-row factor table
+    is touched once per LM iteration (_stf_system_compact), not once per
+    CG iteration."""
     from .cg import pcg_solve
     from .joint import cost as chain_cost
 
@@ -386,9 +472,15 @@ def stf_pcg_lm_solve(
     P = poses0.shape[0]
     problem = build_problem(poses0, table)
 
+    # once per solve: pair-sort + run orderings for the collision-free
+    # reductions (same machinery as the dense path's compacted assembly)
+    stf_s, run_last, run_start_pair = sort_factors_by_pair(stf, P)
+    cidx, cbi, cbj, pairs_dropped = compact_pair_rows(stf_s, run_last, P)
+    red = _pcg_reductions(stf_s, run_start_pair, (cidx, cbi, cbj), P)
+
     def cost_only(x):
         c = chain_cost(problem, x) if include_chain else jnp.zeros((), dtype)
-        r = C.stf_residuals(stf, x)
+        r = C.stf_residuals(stf_s, x)
         return c + 0.5 * jnp.sum(r * r)
 
     c0 = cost_only(poses0)
@@ -402,7 +494,7 @@ def stf_pcg_lm_solve(
             D = jnp.zeros((P, 3, 3), dtype).at[0].set(jnp.eye(3, dtype=dtype))
             U = jnp.zeros((P - 1, 3, 3), dtype)
             g = jnp.zeros((P, 3), dtype)
-        Dh, gh, _, (J0, J1) = _stf_diag_and_gradient(stf, x)
+        Dh, gh, _, B = _stf_system_compact(stf_s, x, red)
         D_aug = D + Dh
         g_tot = g + gh
         diag = jnp.clip(jnp.diagonal(D_aug, axis1=-2, axis2=-1),
@@ -410,7 +502,7 @@ def stf_pcg_lm_solve(
         D_damped = D_aug + mu * jax.vmap(jnp.diag)(diag)
         step, _res, _cgit = pcg_solve(
             D_damped, U, -g_tot,
-            extra_matvec=_stf_offdiag_matvec(stf, J0, J1),
+            extra_matvec=_pair_block_matvec(B, red, P),
             max_iterations=200, tolerance=1e-5,
         )
         x_new = x + step
@@ -440,7 +532,7 @@ def stf_pcg_lm_solve(
     x, _, _, c, it, _ = lax.while_loop(cond, body, init)
     return STFSolveResult(
         poses=x, final_cost=c, initial_cost=c0, iterations=it,
-        num_matches=jnp.sum(stf.valid),
+        num_matches=jnp.sum(stf_s.valid), pairs_dropped=pairs_dropped,
     )
 
 

@@ -266,6 +266,72 @@ def test_refine_aligns_offset_wall(rng):
     assert abs(y1) < 0.05, y1
 
 
+def _random_factors(rng, P=6, Cn=96):
+    """Random valid-masked STFFactors over P poses with unit normals and
+    pose0 < pose1 (the pair-sorted invariant's input form)."""
+    pose0 = rng.integers(0, P - 1, Cn).astype(np.int32)
+    pose1 = (pose0 + 1 + rng.integers(0, P - 1, Cn) % (P - 1 - pose0
+             ).clip(min=1)).clip(max=P - 1).astype(np.int32)
+    ang0 = rng.uniform(0, 2 * np.pi, Cn)
+    ang1 = rng.uniform(0, 2 * np.pi, Cn)
+    return C.STFFactors(
+        pose0=jnp.asarray(pose0), pose1=jnp.asarray(pose1),
+        p0=jnp.asarray(rng.uniform(-2, 2, (Cn, 2)).astype(np.float32)),
+        p1=jnp.asarray(rng.uniform(-2, 2, (Cn, 2)).astype(np.float32)),
+        n0=jnp.asarray(np.stack([np.cos(ang0), np.sin(ang0)],
+                                -1).astype(np.float32)),
+        n1=jnp.asarray(np.stack([np.cos(ang1), np.sin(ang1)],
+                                -1).astype(np.float32)),
+        weight=jnp.asarray(rng.uniform(0.5, 2.0, Cn).astype(np.float32)),
+        valid=jnp.asarray(rng.uniform(size=Cn) > 0.2),
+    )
+
+
+def test_pcg_compact_system_matches_bruteforce(rng):
+    """_stf_system_compact (segmented sums + unique scatters) and
+    _pair_block_matvec reproduce the brute-force scattered STF Hessian
+    action exactly (up to fp association)."""
+    from hitl_slam_tpu.solver.stf_solve import (
+        _pair_block_matvec, _pcg_reductions, _stf_system_compact,
+        compact_pair_rows, sort_factors_by_pair)
+
+    P, Cn = 6, 96
+    stf = _random_factors(rng, P, Cn)
+    poses = jnp.asarray(rng.uniform(-1, 1, (P, 3)).astype(np.float32))
+
+    stf_s, run_last, run_start = sort_factors_by_pair(stf, P)
+    pc = compact_pair_rows(stf_s, run_last, P)
+    assert int(pc[3]) == 0
+    red = _pcg_reductions(stf_s, run_start, pc[:3], P)
+    Dh, g, cost, B = _stf_system_compact(stf_s, poses, red)
+
+    # brute-force reference from residual/jacobian scatters
+    r = C.stf_residuals(stf, poses)
+    J0, J1 = C.stf_jacobians(stf, poses)
+    J0T, J1T = jnp.swapaxes(J0, -1, -2), jnp.swapaxes(J1, -1, -2)
+    Dref = jnp.zeros((P, 3, 3)).at[stf.pose0].add(J0T @ J0)
+    Dref = Dref.at[stf.pose1].add(J1T @ J1).at[0].set(0.0)
+    gref = jnp.zeros((P, 3)).at[stf.pose0].add((J0T @ r[..., None])[..., 0])
+    gref = gref.at[stf.pose1].add((J1T @ r[..., None])[..., 0]).at[0].set(0.0)
+    np.testing.assert_allclose(np.asarray(Dh), np.asarray(Dref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(cost), float(0.5 * jnp.sum(r * r)),
+                               rtol=1e-5)
+
+    # off-diagonal action vs brute-force factor scatters
+    v = jnp.asarray(rng.uniform(-1, 1, (P, 3)).astype(np.float32))
+    got = _pair_block_matvec(B, red, P)(v)
+    vz = v.at[0].set(0.0)
+    a = J0T @ (J1 @ vz[stf.pose1][..., None])
+    b = J1T @ (J0 @ vz[stf.pose0][..., None])
+    ref = jnp.zeros((P, 3)).at[stf.pose0].add(a[..., 0])
+    ref = ref.at[stf.pose1].add(b[..., 0]).at[0].set(0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_refine_dense_fused_matches_dense(rng):
     """solver='dense_fused' (one factor pass per LM iteration, trial cost
     from the assembly) converges to the same refinement as the two-pass
