@@ -27,7 +27,7 @@ DENSE_POSE_LIMIT = 2048
 
 
 @partial(jax.jit, static_argnames=("capacity", "config", "include_chain",
-                                   "solver"))
+                                   "solver", "matcher", "max_pairs"))
 def post_human_refine(
     points: Array,       # [P, N, 2] robot frame
     normals: Array,      # [P, N, 2]
@@ -38,11 +38,27 @@ def post_human_refine(
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
     solver: str = "auto",   # "dense" | "dense_fused" | "pcg" | "auto"
+    matcher: str = "global",  # "global" (1-NN grid) | "pair" (per-pair NN)
+    max_pairs: int = 8192,    # pair-matcher election capacity
 ) -> STFSolveResult:
-    world = pose_to_world(poses[:, None, :], points)
-    world_nrm = rotate(poses[:, 2][:, None], normals)
-    matches = C.grid_match(world, world_nrm, point_mask)
-    stf = C.build_stf_factors(points, normals, matches, capacity=capacity)
+    """matcher="pair" selects the reference-faithful per-pair correspondence
+    search (C.pair_match_factors) — required on heavily re-traversed maps
+    where the global 1-NN fragments bundles below the reference's
+    >=10-per-pair gate and would yield zero factors."""
+    if matcher == "pair":
+        stf, info = C.pair_match_factors(points, normals, point_mask, poses,
+                                         max_pairs=max_pairs,
+                                         capacity=capacity)
+        # stage-1 grid drops only weaken the pair VOTE (stage 2 re-matches
+        # elected pairs densely), so only genuinely lost factor rows count
+        match_dropped = info.rows_overflow + info.pairs_overflow
+    else:
+        world = pose_to_world(poses[:, None, :], points)
+        world_nrm = rotate(poses[:, 2][:, None], normals)
+        matches = C.grid_match(world, world_nrm, point_mask)
+        stf = C.build_stf_factors(points, normals, matches,
+                                  capacity=capacity)
+        match_dropped = matches.dropped
     if solver == "auto":
         solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense"
     if solver == "pcg":
@@ -57,4 +73,4 @@ def post_human_refine(
 
     # surface the matcher's density-cap/out-of-range drop count so capacity
     # violations on new datasets are detectable (ADVICE r2 rule)
-    return dataclasses.replace(out, match_dropped=matches.dropped)
+    return dataclasses.replace(out, match_dropped=match_dropped)

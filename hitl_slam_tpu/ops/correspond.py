@@ -466,3 +466,164 @@ def stf_jacobians(f: STFFactors, poses: Array) -> tuple[Array, Array]:
     ], axis=1)
     v = f.valid[:, None, None]
     return jnp.where(v, J0, 0.0), jnp.where(v, J1, 0.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PairMatchInfo:
+    """Diagnostics of the per-pair matcher (all device scalars)."""
+
+    n_pairs: Array          # pose pairs that cleared min_pair_matches
+    n_matches: Array        # factor rows emitted (pre-capacity)
+    grid_dropped: Array     # stage-1 grid capacity/span drops
+    pairs_overflow: Array   # voted pairs beyond max_pairs
+    rows_overflow: Array    # emitted rows beyond `capacity`
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "capacity", "pair_chunk",
+                                   "bucket", "max_cells",
+                                   "min_pair_matches"))
+def pair_match_factors(
+    points: Array,       # [P, N, 2] robot frame
+    normals: Array,      # [P, N, 2]
+    point_mask: Array,   # [P, N]
+    poses: Array,        # [P, 3]
+    max_pairs: int = 8192,
+    capacity: int = 65536,
+    threshold: float = POINT_MATCH_THRESHOLD,
+    min_cos: float = float(np.cos(MAX_STF_ANGLE_ERROR)),
+    std_dev: float = LASER_STD_DEV,
+    correlation_factor: float = POINT_CORRELATION_FACTOR,
+    min_pair_matches: int = MIN_PAIR_MATCHES,
+    pair_chunk: int = 512,
+    bucket: int = 64,
+    max_cells: int | None = None,
+) -> tuple[STFFactors, PairMatchInfo]:
+    """Reference-faithful PER-PAIR STF correspondences.
+
+    The global grid matcher (grid_match) gives each point its single best
+    cross-pose neighbor — exact, but on heavily re-traversed maps (many
+    laps, or wall sampling coarser than pose spacing) the nearest neighbor
+    is an essentially arbitrary choice among near-duplicates, so matches
+    fragment across thousands of pose pairs and the reference's
+    >=min_pair_matches bundle gate (kMinInterPoseCorrespondence,
+    JointOptimization.cpp:563) kills everything. The reference never
+    fragments because FindSTFCorrespondences (:561-642) matches each pose
+    PAIR with its own KD-tree queries.
+
+    This is that algorithm in TPU form, two stages:
+      1. VOTE: grid_match's fragmented output is exactly a proximity vote —
+         sort the (min,max) pose-pair keys, count runs, lax.top_k the
+         max_pairs most-voted pairs.
+      2. MATCH: for each elected pair, one dense [N, N] gated distance tile
+         (threshold + normal cone + masks) gives every source point of the
+         lower pose its best neighbor in the other — the KD-query loop as
+         batched MXU/VPU arithmetic, lax.map'ed in pair_chunk blocks to
+         bound the tile to [pair_chunk, N, N].
+
+    Emits one symmetric factor per (pair, source point) with the
+    reference's per-bundle RMS weight 1/sqrt(bundle size); bundles below
+    min_pair_matches are dropped whole, as in the reference. Pairs use
+    canonical (i<j) orientation — the symmetric residual covers both
+    directions (see build_stf_factors's halving note).
+    """
+    from .geometry import pose_to_world, rotate
+
+    P, N, _ = points.shape
+    M = P * N
+    dtype = points.dtype
+    INT_MAX = jnp.iinfo(jnp.int32).max
+
+    world = pose_to_world(poses[:, None, :], points)
+    wnrm = rotate(poses[:, 2][:, None], normals)
+
+    # ---- stage 1: pair election by global-NN vote -------------------------
+    m = grid_match(world, wnrm, point_mask, threshold, min_cos, bucket,
+                   max_cells)
+    src_pose = jnp.arange(M, dtype=jnp.int32) // N
+    tgt_pose = m.target // N
+    pi_ = jnp.minimum(src_pose, tgt_pose)
+    pj_ = jnp.maximum(src_pose, tgt_pose)
+    key = jnp.where(m.valid, pi_ * P + pj_, INT_MAX)   # P^2 < int32 for P<46341
+    skey = jnp.sort(key)
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_new = (pos == 0) | (skey != jnp.roll(skey, 1))
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    is_last = ((pos == M - 1) | (skey != jnp.roll(skey, -1))) \
+        & (skey != INT_MAX)
+    votes = jnp.where(is_last, pos - run_start + 1, -1)
+    topv, topi = jax.lax.top_k(votes, max_pairs)
+    pair_ok = topv > 0
+    pair_key = skey[topi]
+    pi = jnp.where(pair_ok, pair_key // P, 0)
+    pj = jnp.where(pair_ok, pair_key % P, 0)
+    n_voted = jnp.sum(is_last.astype(jnp.int32))
+    pairs_overflow = jnp.maximum(n_voted - max_pairs, 0)
+
+    # ---- stage 2: dense per-pair NN ---------------------------------------
+    t2 = jnp.asarray(threshold * threshold, dtype)
+
+    def one_pair(args):
+        # per-element; lax.map vmaps pair_chunk of these into one
+        # [pair_chunk, N, N] tile
+        ci, cj, cok = args
+        a_pts, b_pts = world[ci], world[cj]              # [N, 2]
+        a_nrm, b_nrm = wnrm[ci], wnrm[cj]
+        a_msk, b_msk = point_mask[ci], point_mask[cj]
+        d2 = jnp.sum((a_pts[:, None, :] - b_pts[None, :, :]) ** 2, -1)
+        cosn = a_nrm @ b_nrm.T
+        ok = (a_msk[:, None] & b_msk[None, :] & (d2 < t2)
+              & (cosn > min_cos) & cok)
+        d2m = jnp.where(ok, d2, jnp.inf)
+        tgt = jnp.argmin(d2m, axis=1).astype(jnp.int32)  # [N]
+        ok_row = jnp.isfinite(jnp.min(d2m, axis=1))
+        return tgt, ok_row
+
+    tgt, ok_row = jax.lax.map(one_pair, (pi, pj, pair_ok),
+                              batch_size=pair_chunk)     # [K, N] each
+    counts = jnp.sum(ok_row, axis=1)                      # [K]
+    good = counts >= min_pair_matches
+    w_pair = (correlation_factor / std_dev) / jnp.sqrt(
+        jnp.maximum(counts.astype(dtype), 1.0))
+    valid_rows = ok_row & good[:, None]                   # [K, N]
+
+    # ---- emit + compact ---------------------------------------------------
+    K = max_pairs
+    p0r = points[pi].reshape(K * N, 2)
+    n0r = normals[pi].reshape(K * N, 2)
+    p1r = jnp.take_along_axis(points[pj], tgt[:, :, None],
+                              axis=1).reshape(K * N, 2)
+    n1r = jnp.take_along_axis(normals[pj], tgt[:, :, None],
+                              axis=1).reshape(K * N, 2)
+    pose0r = jnp.repeat(pi, N)
+    pose1r = jnp.repeat(pj, N)
+    wr = jnp.repeat(w_pair, N)
+    vflat = valid_rows.reshape(K * N)
+
+    slots = jnp.cumsum(vflat) - 1
+    in_cap = vflat & (slots < capacity)
+    tgt_slot = jnp.where(in_cap, slots, capacity)
+    rows = jnp.arange(K * N, dtype=jnp.int32)
+    perm = jnp.zeros((capacity,), jnp.int32).at[tgt_slot].set(
+        rows, mode="drop")
+    filled = jnp.zeros((capacity,), bool).at[tgt_slot].set(True, mode="drop")
+    f2 = filled[:, None]
+    n_matches = jnp.sum(vflat.astype(jnp.int32))
+    factors = STFFactors(
+        pose0=jnp.where(filled, pose0r[perm], 0),
+        pose1=jnp.where(filled, pose1r[perm], 0),
+        p0=jnp.where(f2, p0r[perm], 0),
+        p1=jnp.where(f2, p1r[perm], 0),
+        n0=jnp.where(f2, n0r[perm], 0),
+        n1=jnp.where(f2, n1r[perm], 0),
+        weight=jnp.where(filled, wr[perm], 0),
+        valid=filled,
+    )
+    info = PairMatchInfo(
+        n_pairs=jnp.sum(good.astype(jnp.int32)),
+        n_matches=n_matches,
+        grid_dropped=m.dropped,
+        pairs_overflow=pairs_overflow,
+        rows_overflow=jnp.maximum(n_matches - capacity, 0),
+    )
+    return factors, info

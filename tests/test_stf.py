@@ -332,6 +332,99 @@ def test_pcg_compact_system_matches_bruteforce(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pair_match_factors_vs_bruteforce(rng):
+    """pair_match_factors' per-pair dense NN equals a numpy per-pair
+    KD-query loop (the reference FindSTFCorrespondences semantics) on the
+    elected pairs."""
+    P, N = 5, 24
+    pts = rng.uniform(0, 2.0, (P, N, 2)).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, (P, N))
+    nrm = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+    mask = rng.uniform(size=(P, N)) > 0.15
+    poses = rng.uniform(-0.05, 0.05, (P, 3)).astype(np.float32)
+    f, info = C.pair_match_factors(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(mask),
+        jnp.asarray(poses), max_pairs=16, capacity=512, pair_chunk=8,
+        min_pair_matches=2, threshold=0.5)
+
+    # world-frame numpy mirror
+    def to_world(q, p):
+        c, s = np.cos(q[2]), np.sin(q[2])
+        R = np.array([[c, -s], [s, c]], np.float32)
+        return p @ R.T + q[:2]
+
+    wp = np.stack([to_world(poses[i], pts[i]) for i in range(P)])
+    wn = np.stack([to_world(poses[i], nrm[i]) - poses[i][:2]
+                   for i in range(P)])
+    min_cos = float(np.cos(25 * np.pi / 180))
+    got = {}
+    fv = np.asarray(f.valid)
+    for r in range(int(fv.sum())):
+        key = (int(f.pose0[r]), int(f.pose1[r]))
+        got.setdefault(key, []).append(
+            (np.asarray(f.p0[r]), np.asarray(f.p1[r])))
+    assert got, "no factors emitted"
+    for (i, j), rows in got.items():
+        assert i < j
+        # every emitted row is the brute-force per-pair NN of its source
+        for p0r, p1r in rows:
+            si = np.argmin(np.sum((pts[i] - p0r) ** 2, -1))
+            d2 = np.sum((wp[j] - wp[i][si]) ** 2, -1)
+            cos = wn[j] @ wn[i][si]
+            ok = mask[j] & mask[i][si] & (d2 < 0.25) & (cos > min_cos)
+            assert ok.any()
+            expect = np.flatnonzero(ok)[np.argmin(d2[ok])]
+            np.testing.assert_allclose(p1r, pts[j][expect], atol=1e-6)
+        # and the bundle is COMPLETE: one row per in-gate source point
+        n_expect = 0
+        for si in range(N):
+            if not mask[i][si]:
+                continue
+            d2 = np.sum((wp[j] - wp[i][si]) ** 2, -1)
+            cos = wn[j] @ wn[i][si]
+            if (mask[j] & (d2 < 0.25) & (cos > min_cos)).any():
+                n_expect += 1
+        assert len(rows) == n_expect, (i, j, len(rows), n_expect)
+
+
+def test_pair_matcher_rescues_fragmented_map():
+    """On a heavily re-traversed map the global 1-NN fragments bundles
+    below the reference's >=10-per-pair gate (zero factors); the per-pair
+    matcher (reference FindSTFCorrespondences semantics) recovers healthy
+    bundles and the refine reduces cost."""
+    from hitl_slam_tpu.core.state import make_map_state
+    from hitl_slam_tpu.io.figure8 import generate_figure8
+    from hitl_slam_tpu.models.hitl.refine import post_human_refine
+    from hitl_slam_tpu.ops.geometry import pose_to_world, rotate
+    from hitl_slam_tpu.solver.lm import LMConfig
+
+    m = generate_figure8(num_poses=512, num_rays=40, seed=13,
+                         drift_theta_bias=2e-4, num_laps=8)
+    st = make_map_state(m.poses, m.covariances, m.point_clouds,
+                        m.normal_clouds, odometry=m.odometry,
+                        constraint_capacity=64)
+    world = pose_to_world(st.poses[:, None, :], st.points)
+    wn = rotate(st.poses[:, 2][:, None], st.normals)
+    mt = C.grid_match(world, wn, st.point_mask)
+    stf_g = C.build_stf_factors(st.points, st.normals, mt, capacity=16384)
+    assert int(stf_g.valid.sum()) == 0          # the failure mode is real
+
+    f, info = C.pair_match_factors(st.points, st.normals, st.point_mask,
+                                   st.poses, max_pairs=8192, capacity=32768)
+    assert int(info.n_pairs) > 500
+    assert int(info.n_matches) > 10000
+    assert int(info.rows_overflow) == 0
+    assert int(info.pairs_overflow) == 0
+
+    out = post_human_refine(st.points, st.normals, st.point_mask, st.poses,
+                            st.constraints, capacity=32768,
+                            config=LMConfig(max_iterations=3),
+                            matcher="pair", max_pairs=8192)
+    assert int(out.num_matches) > 10000
+    assert float(out.final_cost) < float(out.initial_cost)
+    assert np.isfinite(np.asarray(out.poses)).all()
+
+
 def test_refine_dense_fused_matches_dense(rng):
     """solver='dense_fused' (one factor pass per LM iteration, trial cost
     from the assembly) converges to the same refinement as the two-pass
