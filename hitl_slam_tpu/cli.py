@@ -416,6 +416,13 @@ def main(argv=None) -> int:
         return 0
 
     # no mode selected: print summary and save
+    if args.post_optimize:
+        t0 = time.perf_counter()
+        rep = engine.post_optimize()
+        dt = (time.perf_counter() - t0) * 1e3
+        print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
+              f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g} "
+              f"({dt:.1f} ms)")
     save_results()
     render()
     return 0

@@ -278,31 +278,45 @@ class HitLSLAM:
 
     # -- post-human STF refinement -----------------------------------------
 
-    def post_optimize(self, max_iterations: int = 30) -> CycleReport:
+    def post_optimize(self, max_iterations: int = 30,
+                      matcher: str = "auto") -> CycleReport:
         """Run the STF correspondence + refinement solve on the current map
-        (the reference's dormant PostHumanOptimization, made live)."""
+        (the reference's dormant PostHumanOptimization, made live).
+
+        matcher="auto": try the global 1-NN grid first; if every bundle
+        dies at the reference's >=10-per-pair gate (the fragmentation mode
+        of heavily re-traversed maps, DEVIATIONS #20), rerun with the
+        per-pair matcher. "global"/"pair" force one path."""
         from .refine import post_human_refine
 
         st = self.state
         self.prev_poses = st.poses
         self.prev_covariances = st.covariances
         self.prev_num_constraints = self.num_constraints
+        cfg = LMConfig(max_iterations=max_iterations)
+        used = "pair" if matcher == "pair" else "global"
         out = post_human_refine(
             st.points, st.normals, st.point_mask, st.poses, st.constraints,
-            config=LMConfig(max_iterations=max_iterations),
+            config=cfg, matcher=used,
         )
+        if matcher == "auto" and int(out.num_matches) == 0:
+            used = "pair"
+            out = post_human_refine(
+                st.points, st.normals, st.point_mask, st.poses,
+                st.constraints, config=cfg, matcher=used,
+            )
         self.state = MapState(
             poses=out.poses, covariances=st.covariances,
             points=st.points, normals=st.normals, point_mask=st.point_mask,
             odometry=st.odometry, constraints=st.constraints,
         )
         return CycleReport(
-            True, reason="post-human STF refinement",
+            True, reason=f"post-human STF refinement ({used} matcher)",
             lm_iterations=int(out.iterations),
             initial_cost=float(out.initial_cost),
             final_cost=float(out.final_cost),
-            # grid-matcher density-cap/out-of-range drops (observability;
-            # ADVICE r2 rule: capacity violations must be detectable)
+            # matcher drops (observability; ADVICE r2 rule: capacity
+            # violations must be detectable)
             dropped_rows=int(out.match_dropped),
         )
 

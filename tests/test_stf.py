@@ -425,6 +425,24 @@ def test_pair_matcher_rescues_fragmented_map():
     assert np.isfinite(np.asarray(out.poses)).all()
 
 
+def test_post_optimize_auto_matcher_fallback():
+    """engine.post_optimize(matcher='auto') falls back to the per-pair
+    matcher when the global 1-NN yields zero gated bundles."""
+    from hitl_slam_tpu.io.figure8 import generate_figure8
+    from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+
+    m = generate_figure8(num_poses=512, num_rays=40, seed=13,
+                         drift_theta_bias=2e-4, num_laps=8)
+    eng = HitLSLAM()
+    eng.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+             odometry=m.odometry, constraint_capacity=64)
+    rep = eng.post_optimize(max_iterations=3)
+    assert rep.accepted
+    assert "pair matcher" in rep.reason
+    assert rep.final_cost < rep.initial_cost
+    assert np.isfinite(np.asarray(eng.get_poses())).all()
+
+
 def test_refine_dense_fused_matches_dense(rng):
     """solver='dense_fused' (one factor pass per LM iteration, trial cost
     from the assembly) converges to the same refinement as the two-pass
