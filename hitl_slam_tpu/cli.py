@@ -394,6 +394,15 @@ def main(argv=None) -> int:
             elif ev.keycode == 0x43:    # 'c': toggle covariance ellipses
                 show_cov["on"] = not show_cov["on"]
                 publish()
+            elif ev.keycode == 0x4F:    # 'o': post-human STF refine
+                if correction_mode["on"]:
+                    print("cannot post-optimize while in correction mode")
+                else:
+                    rep = engine.post_optimize()
+                    print(f"post-optimize: {rep.reason} "
+                          f"lm_iters={rep.lm_iterations} cost "
+                          f"{rep.initial_cost:.4g} -> {rep.final_cost:.4g}")
+                    publish()
 
         server.on_mouse_click = on_click
         server.on_keyboard = on_key
@@ -406,7 +415,7 @@ def main(argv=None) -> int:
         publish()
         print(f"GUI bridge listening on ws://127.0.0.1:{args.gui_port} "
               f"(keys: p=correct u=undo v=save l=replay a=propose/accept "
-              f"c=covariances)")
+              f"c=covariances o=post-optimize)")
         try:
             while not stop.wait(0.5):
                 pass

@@ -67,6 +67,7 @@ function keyCode(k) {
        : k === 'l' ? 0x4C
        : k === 'a' ? 0x41
        : k === 'c' ? 0x43
+       : k === 'o' ? 0x4F
        : 0;
 }
 

@@ -303,6 +303,10 @@ def test_gui_headless_session_protocol(session_files, tmp_path):
             assert len(f6["circles"]) == 2
             assert len(f6["lines_p1"]) == n_lines0 + 1   # the new edge
             await send({"type": "graph_edit", "op": "save"})
+            # 'o': post-human STF refine republishes a finite frame
+            await send({"type": "keyboard", "keycode": 0x4F})
+            f7 = await recv()
+            assert np.isfinite(np.asarray(f7["points"][:96])).all()
             # 'v': save poses
             await send({"type": "keyboard", "keycode": 0x56})
             await asyncio.sleep(1.0)

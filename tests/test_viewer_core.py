@@ -316,7 +316,7 @@ def test_modifier_mask_matches_reference_bitmask(vm):
 def test_keycodes_match_reference(vm):
     # KeyboardRequestCallback keycodes (HitLSLAM_main.cpp:848-911)
     for k, code in (("p", 0x50), ("u", 0x55), ("v", 0x56), ("l", 0x4C),
-                    ("a", 0x41), ("c", 0x43)):
+                    ("a", 0x41), ("c", 0x43), ("o", 0x4F)):
         assert vm.call("keyCode", k) == code
     assert vm.call("keyCode", "z") == 0
 
