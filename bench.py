@@ -619,6 +619,7 @@ def main():
     # ---- post-human STF refinement (the reference's dormant stage, live) --
     post_opt_ms = post_opt_matches = post_opt_dropped = -1
     post_opt_match_ms = post_opt_lm_ms = post_opt_lm_iters = -1
+    cpu_refine_ms = cpu_ref_cost = cpu_ref_iters = -1
     try:
         if not extras_ok:
             raise TimeoutError('budget')
@@ -672,6 +673,17 @@ def main():
         _jax.block_until_ready(outs.poses)
         post_opt_lm_ms = (time.perf_counter() - t0) * 1e3
         post_opt_lm_iters = int(np.asarray(outs.iterations))
+
+        # optimized-CPU bound for the refine LM (the reference shipped this
+        # stage disabled, so the baseline is our own f64 LAPACK dense LM on
+        # the SAME factors — solve-only, like the other cpu_* baselines)
+        from hitl_slam_tpu.baselines.cpu_refine import (cpu_refine_solve,
+                                                        stf_to_numpy)
+        t0 = time.perf_counter()
+        _, cpu_ref_cost, cpu_ref_iters = cpu_refine_solve(
+            np.asarray(stp.poses), np_table, stf_to_numpy(stf_f),
+            max_iterations=10)
+        cpu_refine_ms = (time.perf_counter() - t0) * 1e3
     except Exception as e:
         import sys; print(f'[bench] post-optimize skipped: {e}', file=sys.stderr)
 
@@ -748,6 +760,13 @@ def main():
             "post_optimize_match_ms": round(post_opt_match_ms, 2),
             "post_optimize_lm_ms": round(post_opt_lm_ms, 2),
             "post_optimize_lm_iters": post_opt_lm_iters,
+            "cpu_refine_solve_ms": round(cpu_refine_ms, 1),
+            "cpu_refine_final_cost": round(float(cpu_ref_cost), 4)
+            if cpu_ref_cost != -1 else -1,
+            "cpu_refine_iters": cpu_ref_iters,
+            "vs_optimized_cpu_refine": round(cpu_refine_ms / post_opt_lm_ms,
+                                             2)
+            if cpu_refine_ms > 0 and post_opt_lm_ms > 0 else -1,
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(

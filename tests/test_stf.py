@@ -425,6 +425,48 @@ def test_pair_matcher_rescues_fragmented_map():
     assert np.isfinite(np.asarray(out.poses)).all()
 
 
+def test_cpu_refine_baseline_matches_tpu_path(rng):
+    """baselines/cpu_refine (f64 LAPACK dense LM, the optimized-CPU bound
+    for the net-new refine stage) converges to the same solution as the
+    f32 TPU-path dense solve on the same factor graph."""
+    from hitl_slam_tpu.baselines.cpu_refine import (cpu_refine_solve,
+                                                    stf_to_numpy)
+    from hitl_slam_tpu.core.state import ConstraintTable
+    from hitl_slam_tpu.ops.geometry import pose_to_world, rotate
+    from hitl_slam_tpu.solver.lm import LMConfig
+    from hitl_slam_tpu.solver.stf_solve import stf_lm_solve
+
+    n = 64
+    x = np.linspace(0.0, 3.0, n)
+    wall = np.stack([x, np.zeros(n)], -1).astype(np.float32)
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    points = jnp.asarray(np.stack([wall, wall]))
+    normals = jnp.asarray(np.stack([nrm, nrm]))
+    mask = jnp.ones((2, n), bool)
+    poses = jnp.asarray(np.array([[0, 0, 0], [0.0, 0.05, 0.0]], np.float32))
+    table = ConstraintTable.empty(8)
+    world = pose_to_world(poses[:, None, :], points)
+    wn = rotate(poses[:, 2][:, None], normals)
+    mt = C.grid_match(world, wn, mask)
+    stf = C.build_stf_factors(points, normals, mt, capacity=512)
+
+    out = stf_lm_solve(poses, table, stf, config=LMConfig(max_iterations=20))
+    np_table = dict(
+        ctype=np.asarray(table.ctype), constrained=np.asarray(
+            table.constrained), anchor=np.asarray(table.anchor),
+        dpar=np.asarray(table.delta_parallel),
+        dperp=np.asarray(table.delta_perpendicular),
+        dth=np.asarray(table.delta_angle), pen=np.asarray(table.penalty_dir),
+        active=np.asarray(table.active))
+    cpu_poses, cpu_cost, cpu_iters = cpu_refine_solve(
+        np.asarray(poses), np_table, stf_to_numpy(stf), max_iterations=20)
+    assert cpu_iters > 0
+    np.testing.assert_allclose(float(out.final_cost), cpu_cost,
+                               rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.poses), cpu_poses,
+                               atol=2e-4)
+
+
 def test_post_optimize_auto_matcher_fallback():
     """engine.post_optimize(matcher='auto') falls back to the per-pair
     matcher when the global 1-NN yields zero gated bundles."""
