@@ -592,27 +592,31 @@ def main():
         from hitl_slam_tpu.solver.lm import LMConfig as _LMC8
 
         st8 = eng8.state
-        _r8 = dict(capacity=262144, config=_LMC8(max_iterations=5),
-                   matcher="pair", max_pairs=16384)
-        outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
-                     st8.constraints, **_r8)
-        _jax.block_until_ready(outr8.poses)
-        t0 = time.perf_counter()
-        outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
-                     st8.constraints, **_r8)
-        _jax.block_until_ready(outr8.poses)
-        hitl8192["post_optimize_8192_pair_ms"] = round(
-            (time.perf_counter() - t0) * 1e3, 2)
-        hitl8192["post_optimize_8192_matches"] = int(
-            np.asarray(outr8.num_matches))
-        hitl8192["post_optimize_8192_dropped"] = int(
-            np.asarray(outr8.match_dropped))
-        hitl8192["post_optimize_8192_iters"] = int(
-            np.asarray(outr8.iterations))
-        hitl8192["post_optimize_8192_cost"] = {
-            "before": round(float(outr8.initial_cost), 4),
-            "after": round(float(outr8.final_cost), 4),
-        }
+        if (time.perf_counter() - t_start) < 35 * 60:
+            _r8 = dict(capacity=262144, config=_LMC8(max_iterations=5),
+                       matcher="pair", max_pairs=16384)
+            outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
+                         st8.constraints, **_r8)
+            _jax.block_until_ready(outr8.poses)
+            t0 = time.perf_counter()
+            outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
+                         st8.constraints, **_r8)
+            _jax.block_until_ready(outr8.poses)
+            hitl8192["post_optimize_8192_pair_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 2)
+            hitl8192["post_optimize_8192_matches"] = int(
+                np.asarray(outr8.num_matches))
+            hitl8192["post_optimize_8192_dropped"] = int(
+                np.asarray(outr8.match_dropped))
+            hitl8192["post_optimize_8192_iters"] = int(
+                np.asarray(outr8.iterations))
+            hitl8192["post_optimize_8192_cost"] = {
+                "before": round(float(outr8.initial_cost), 4),
+                "after": round(float(outr8.final_cost), 4),
+            }
+        else:
+            import sys
+            print('[bench] 8192 refine skipped: budget', file=sys.stderr)
     except Exception as e:
         import sys; print(f'[bench] hitl 8192 session skipped: {e}', file=sys.stderr)
 
