@@ -27,7 +27,8 @@ DENSE_POSE_LIMIT = 2048
 
 
 @partial(jax.jit, static_argnames=("capacity", "config", "include_chain",
-                                   "solver", "matcher", "max_pairs"))
+                                   "solver", "matcher", "max_pairs",
+                                   "match_bucket", "match_max_cells"))
 def post_human_refine(
     points: Array,       # [P, N, 2] robot frame
     normals: Array,      # [P, N, 2]
@@ -40,6 +41,11 @@ def post_human_refine(
     solver: str = "auto",   # "dense" | "dense_fused" | "pcg" | "auto"
     matcher: str = "global",  # "global" (1-NN grid) | "pair" (per-pair NN)
     max_pairs: int = 8192,    # pair-matcher election capacity
+    match_bucket: int = 64,   # grid per-cell capacity (density cap)
+    match_max_cells: int | None = None,  # occupied-cell capacity; the
+    # default clamp (M//32, max 16384) is sized for building-scale maps —
+    # large-extent maps (perimeter >> 100 m) need it raised to avoid
+    # counted cell drops
 ) -> STFSolveResult:
     """matcher="pair" selects the reference-faithful per-pair correspondence
     search (C.pair_match_factors) — required on heavily re-traversed maps
@@ -48,14 +54,18 @@ def post_human_refine(
     if matcher == "pair":
         stf, info = C.pair_match_factors(points, normals, point_mask, poses,
                                          max_pairs=max_pairs,
-                                         capacity=capacity)
+                                         capacity=capacity,
+                                         bucket=match_bucket,
+                                         max_cells=match_max_cells)
         # stage-1 grid drops only weaken the pair VOTE (stage 2 re-matches
         # elected pairs densely), so only genuinely lost factor rows count
         match_dropped = info.rows_overflow + info.pairs_overflow
     else:
         world = pose_to_world(poses[:, None, :], points)
         world_nrm = rotate(poses[:, 2][:, None], normals)
-        matches = C.grid_match(world, world_nrm, point_mask)
+        matches = C.grid_match(world, world_nrm, point_mask,
+                               bucket=match_bucket,
+                               max_cells=match_max_cells)
         stf = C.build_stf_factors(points, normals, matches,
                                   capacity=capacity)
         match_dropped = matches.dropped
