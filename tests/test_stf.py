@@ -425,6 +425,33 @@ def test_pair_matcher_rescues_fragmented_map():
     assert np.isfinite(np.asarray(out.poses)).all()
 
 
+def test_pair_match_factors_edge_cases(rng):
+    """Empty masks yield zero pairs/factors; an election capacity smaller
+    than the voted pair count is COUNTED in pairs_overflow, not silent."""
+    P, N = 4, 16
+    pts = rng.uniform(0, 1.0, (P, N, 2)).astype(np.float32)
+    nrm = np.tile(np.array([[0.0, 1.0]], np.float32), (P, N, 1))
+    poses = np.zeros((P, 3), np.float32)
+
+    # all points masked out
+    f0, info0 = C.pair_match_factors(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.zeros((P, N), bool),
+        jnp.asarray(poses), max_pairs=8, capacity=64, pair_chunk=4,
+        min_pair_matches=1, threshold=0.5)
+    assert int(info0.n_pairs) == 0
+    assert int(info0.n_matches) == 0
+    assert not bool(f0.valid.any())
+
+    # full mask: every distinct pose pair votes; max_pairs=2 < voted pairs
+    f1, info1 = C.pair_match_factors(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.ones((P, N), bool),
+        jnp.asarray(poses), max_pairs=2, capacity=64, pair_chunk=2,
+        min_pair_matches=1, threshold=2.0)
+    assert int(info1.pairs_overflow) > 0
+    assert int(info1.n_pairs) <= 2
+    assert int(f1.valid.sum()) == int(min(info1.n_matches, 64))
+
+
 def test_cpu_refine_baseline_matches_tpu_path(rng):
     """baselines/cpu_refine (f64 LAPACK dense LM, the optimized-CPU bound
     for the net-new refine stage) converges to the same solution as the
