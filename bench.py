@@ -591,8 +591,12 @@ def main():
         from hitl_slam_tpu.models.hitl.refine import post_human_refine as _phr
         from hitl_slam_tpu.solver.lm import LMConfig as _LMC8
 
-        st8 = eng8.state
-        if (time.perf_counter() - t_start) < 35 * 60:
+        # the refine-at-scale block fails/skips independently of the session
+        # results already recorded above
+        try:
+            st8 = eng8.state
+            if (time.perf_counter() - t_start) > 35 * 60:
+                raise TimeoutError('budget')
             _r8 = dict(capacity=262144, config=_LMC8(max_iterations=5),
                        matcher="pair", max_pairs=16384)
             outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
@@ -606,17 +610,19 @@ def main():
                 (time.perf_counter() - t0) * 1e3, 2)
             hitl8192["post_optimize_8192_matches"] = int(
                 np.asarray(outr8.num_matches))
-            hitl8192["post_optimize_8192_dropped"] = int(
+            hitl8192["post_optimize_8192_rows_dropped"] = int(
                 np.asarray(outr8.match_dropped))
+            hitl8192["post_optimize_8192_elect_dropped"] = int(
+                np.asarray(outr8.elect_dropped))
             hitl8192["post_optimize_8192_iters"] = int(
                 np.asarray(outr8.iterations))
             hitl8192["post_optimize_8192_cost"] = {
                 "before": round(float(outr8.initial_cost), 4),
                 "after": round(float(outr8.final_cost), 4),
             }
-        else:
+        except Exception as e:
             import sys
-            print('[bench] 8192 refine skipped: budget', file=sys.stderr)
+            print(f'[bench] 8192 refine skipped: {e}', file=sys.stderr)
     except Exception as e:
         import sys; print(f'[bench] hitl 8192 session skipped: {e}', file=sys.stderr)
 
@@ -646,21 +652,18 @@ def main():
         post_opt_dropped = int(np.asarray(outr.match_dropped))
 
         # stage decomposition (VERDICT r2 item 7: prove where the floor is):
-        # time the correspondence half and the LM half as separate programs.
-        # The LM per-iteration cost is dominated by the dense [3P,3P]
-        # Cholesky + triangular solves — a factorization floor, not matcher
-        # or assembly overhead.
-        from hitl_slam_tpu.ops import correspond as _C
-        from hitl_slam_tpu.ops.geometry import pose_to_world as _p2w
-        from hitl_slam_tpu.ops.geometry import rotate as _rotg
+        # time the correspondence half and the LM half as separate programs
+        # — the SAME halves post_human_refine fuses (match_factors_global is
+        # refine.py's own matcher, so the decomposition tracks the headline
+        # by construction). The LM per-iteration cost is dominated by the
+        # dense [3P,3P] Cholesky + triangular solves — a factorization
+        # floor, not matcher or assembly overhead.
+        from hitl_slam_tpu.models.hitl.refine import match_factors_global
         from hitl_slam_tpu.solver.stf_solve import stf_lm_solve as _stf_lm
 
-        @_jax.jit
-        def _match_build(points, normals, mask, poses):
-            world = _p2w(poses[:, None, :], points)
-            wn = _rotg(poses[:, 2][:, None], normals)
-            mt = _C.grid_match(world, wn, mask)
-            return _C.build_stf_factors(points, normals, mt, capacity=65536)
+        _match_build = _jax.jit(
+            lambda pts, nrm, msk, ps: match_factors_global(
+                pts, nrm, msk, ps, capacity=65536)[0])
 
         stf_f = _match_build(stp.points, stp.normals, stp.point_mask,
                              stp.poses)

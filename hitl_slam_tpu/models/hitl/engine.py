@@ -310,13 +310,20 @@ class HitLSLAM:
             points=st.points, normals=st.normals, point_mask=st.point_mask,
             odometry=st.odometry, constraints=st.constraints,
         )
+        # capacity diagnostics beyond lost rows surface in the reason text
+        # (ADVICE r2 rule: capacity violations must be detectable)
+        extra = ""
+        for label, v in (("pairs_dropped", out.pairs_dropped),
+                         ("vote_dropped", out.vote_dropped),
+                         ("elect_dropped", out.elect_dropped)):
+            if v is not None and int(v) > 0:
+                extra += f", {label}={int(v)}"
         return CycleReport(
-            True, reason=f"post-human STF refinement ({used} matcher)",
+            True, reason=f"post-human STF refinement ({used} matcher{extra})",
             lm_iterations=int(out.iterations),
             initial_cost=float(out.initial_cost),
             final_cost=float(out.final_cost),
-            # matcher drops (observability; ADVICE r2 rule: capacity
-            # violations must be detectable)
+            # factor rows genuinely lost to matcher-table capacity
             dropped_rows=int(out.match_dropped),
         )
 

@@ -8,6 +8,7 @@ factor compaction -> dense GN/LM refine (odometry + human + STF factors).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -24,6 +25,27 @@ Array = jax.Array
 # above this pose count the dense [3P,3P] refine Hessian (37 MB at P=1024,
 # 2.4 GB at P=8192) gives way to the matrix-free PCG solve
 DENSE_POSE_LIMIT = 2048
+
+
+def match_factors_global(
+    points: Array,
+    normals: Array,
+    point_mask: Array,
+    poses: Array,
+    capacity: int = 65536,
+    bucket: int = 64,
+    max_cells: int | None = None,
+):
+    """The global-1-NN correspondence half of the refine (world transform +
+    grid_match + factor compaction). Shared by post_human_refine and the
+    bench's stage decomposition so both always measure the same pipeline.
+    Returns (STFFactors, Matches)."""
+    world = pose_to_world(poses[:, None, :], points)
+    world_nrm = rotate(poses[:, 2][:, None], normals)
+    matches = C.grid_match(world, world_nrm, point_mask,
+                           bucket=bucket, max_cells=max_cells)
+    stf = C.build_stf_factors(points, normals, matches, capacity=capacity)
+    return stf, matches
 
 
 @partial(jax.jit, static_argnames=("capacity", "config", "include_chain",
@@ -50,37 +72,45 @@ def post_human_refine(
     """matcher="pair" selects the reference-faithful per-pair correspondence
     search (C.pair_match_factors) — required on heavily re-traversed maps
     where the global 1-NN fragments bundles below the reference's
-    >=10-per-pair gate and would yield zero factors."""
+    >=10-per-pair gate and would yield zero factors.
+
+    Drop diagnostics on the result (ADVICE r2: capacity violations must be
+    detectable): `match_dropped` counts factor rows genuinely lost
+    (matcher-table overflow, or the global matcher's grid drops);
+    `vote_dropped`/`elect_dropped` (pair mode) count stage-1 grid drops
+    that may have silenced votes and voted pairs beyond the election
+    capacity; `pairs_dropped` counts pose pairs beyond the solvers'
+    off-diagonal compact capacity (kept >= max_pairs here, so 0 unless the
+    global matcher emits more distinct pairs than that)."""
+    vote_dropped = elect_dropped = None
     if matcher == "pair":
         stf, info = C.pair_match_factors(points, normals, point_mask, poses,
                                          max_pairs=max_pairs,
                                          capacity=capacity,
                                          bucket=match_bucket,
                                          max_cells=match_max_cells)
-        # stage-1 grid drops only weaken the pair VOTE (stage 2 re-matches
-        # elected pairs densely), so only genuinely lost factor rows count
-        match_dropped = info.rows_overflow + info.pairs_overflow
+        match_dropped = info.rows_overflow
+        vote_dropped = info.grid_dropped
+        elect_dropped = info.pairs_overflow
     else:
-        world = pose_to_world(poses[:, None, :], points)
-        world_nrm = rotate(poses[:, 2][:, None], normals)
-        matches = C.grid_match(world, world_nrm, point_mask,
-                               bucket=match_bucket,
-                               max_cells=match_max_cells)
-        stf = C.build_stf_factors(points, normals, matches,
-                                  capacity=capacity)
+        stf, matches = match_factors_global(points, normals, point_mask,
+                                            poses, capacity=capacity,
+                                            bucket=match_bucket,
+                                            max_cells=match_max_cells)
         match_dropped = matches.dropped
     if solver == "auto":
         solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense"
+    # the solvers' off-diagonal pair compact must hold every pair the
+    # matcher can emit — never smaller than the election capacity
+    solver_pairs = max(max_pairs, 16384)
     if solver == "pcg":
-        fn = stf_pcg_lm_solve
+        fn = partial(stf_pcg_lm_solve, max_pairs=solver_pairs)
     elif solver == "dense_fused":
         # single-factor-pass trial evaluation (see stf_lm_solve docstring)
-        fn = partial(stf_lm_solve, fused_eval=True)
+        fn = partial(stf_lm_solve, fused_eval=True, max_pairs=solver_pairs)
     else:
-        fn = stf_lm_solve
+        fn = partial(stf_lm_solve, max_pairs=solver_pairs)
     out = fn(poses, table, stf, config=config, include_chain=include_chain)
-    import dataclasses
-
-    # surface the matcher's density-cap/out-of-range drop count so capacity
-    # violations on new datasets are detectable (ADVICE r2 rule)
-    return dataclasses.replace(out, match_dropped=match_dropped)
+    return dataclasses.replace(out, match_dropped=match_dropped,
+                               vote_dropped=vote_dropped,
+                               elect_dropped=elect_dropped)

@@ -552,13 +552,18 @@ def pair_match_factors(
     is_last = ((pos == M - 1) | (skey != jnp.roll(skey, -1))) \
         & (skey != INT_MAX)
     votes = jnp.where(is_last, pos - run_start + 1, -1)
-    topv, topi = jax.lax.top_k(votes, max_pairs)
+    # top_k requires k <= M; tiny maps (P*N < max_pairs) elect every row
+    k = min(max_pairs, M)
+    topv, topi = jax.lax.top_k(votes, k)
+    if k < max_pairs:
+        topv = jnp.pad(topv, (0, max_pairs - k), constant_values=-1)
+        topi = jnp.pad(topi, (0, max_pairs - k))
     pair_ok = topv > 0
     pair_key = skey[topi]
     pi = jnp.where(pair_ok, pair_key // P, 0)
     pj = jnp.where(pair_ok, pair_key % P, 0)
     n_voted = jnp.sum(is_last.astype(jnp.int32))
-    pairs_overflow = jnp.maximum(n_voted - max_pairs, 0)
+    pairs_overflow = jnp.maximum(n_voted - k, 0)
 
     # ---- stage 2: dense per-pair NN ---------------------------------------
     t2 = jnp.asarray(threshold * threshold, dtype)

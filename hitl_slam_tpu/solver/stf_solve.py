@@ -317,14 +317,20 @@ class STFSolveResult:
     initial_cost: Array
     iterations: Array
     num_matches: Array
-    # pose pairs beyond the compacted off-diagonal capacity (0 = exact;
-    # only the dense path compacts — ADVICE r2: capacity violations must be
-    # detectable, not silent)
+    # pose pairs beyond the solvers' compacted off-diagonal capacity
+    # (0 = exact; ADVICE r2: capacity violations must be detectable)
     pairs_dropped: Array | None = None
-    # points the grid matcher density-capped or masked out of range
-    # (Matches.dropped surfaced through the refine path; same ADVICE-r2
-    # detectability rule — a capped cell silently weakens correspondences)
+    # factor rows genuinely lost before the solve: the global matcher's
+    # density-cap/out-of-range drops, or the pair matcher's factor-table
+    # overflow (same ADVICE-r2 detectability rule)
     match_dropped: Array | None = None
+    # pair-matcher only: stage-1 grid drops that may have silenced a pair's
+    # VOTE (the pair itself then never elected — distinct from lost rows)
+    vote_dropped: Array | None = None
+    # pair-matcher only: voted pose pairs beyond the election capacity
+    # (units: pairs, each worth up to N rows — kept separate from
+    # match_dropped's row units)
+    elect_dropped: Array | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -449,13 +455,14 @@ def _pair_block_matvec(B: Array, red: dict, P: int):
     return mv
 
 
-@partial(jax.jit, static_argnames=("config", "include_chain"))
+@partial(jax.jit, static_argnames=("config", "include_chain", "max_pairs"))
 def stf_pcg_lm_solve(
     poses0: Array,
     table: ConstraintTable,
     stf: C.STFFactors,
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
+    max_pairs: int = 16384,
 ) -> STFSolveResult:
     """Matrix-free LM: same problem as stf_lm_solve, linear solves by
     block-Jacobi PCG (solver/cg.py) instead of a dense factorization.
@@ -475,7 +482,8 @@ def stf_pcg_lm_solve(
     # once per solve: pair-sort + run orderings for the collision-free
     # reductions (same machinery as the dense path's compacted assembly)
     stf_s, run_last, run_start_pair = sort_factors_by_pair(stf, P)
-    cidx, cbi, cbj, pairs_dropped = compact_pair_rows(stf_s, run_last, P)
+    cidx, cbi, cbj, pairs_dropped = compact_pair_rows(stf_s, run_last, P,
+                                                      max_pairs=max_pairs)
     red = _pcg_reductions(stf_s, run_start_pair, (cidx, cbi, cbj), P)
 
     def cost_only(x):
@@ -536,7 +544,8 @@ def stf_pcg_lm_solve(
     )
 
 
-@partial(jax.jit, static_argnames=("config", "include_chain", "fused_eval"))
+@partial(jax.jit, static_argnames=("config", "include_chain", "fused_eval",
+                                   "max_pairs"))
 def stf_lm_solve(
     poses0: Array,
     table: ConstraintTable,
@@ -544,6 +553,7 @@ def stf_lm_solve(
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
     fused_eval: bool = False,
+    max_pairs: int = 16384,
 ) -> STFSolveResult:
     """Dense STF LM.
 
@@ -576,7 +586,8 @@ def stf_lm_solve(
     stf, run_last, run_start = sort_factors_by_pair(stf, P_)
     pair_runs = (run_last, run_start)
     onehots = stf_onehots(stf, P_, dtype)
-    cidx, cbi, cbj, pairs_dropped = compact_pair_rows(stf, run_last, P_)
+    cidx, cbi, cbj, pairs_dropped = compact_pair_rows(stf, run_last, P_,
+                                                      max_pairs=max_pairs)
     pair_compact = (cidx, cbi, cbj)
 
     def assemble_cost(x):

@@ -451,6 +451,15 @@ def test_pair_match_factors_edge_cases(rng):
     assert int(info1.n_pairs) <= 2
     assert int(f1.valid.sum()) == int(min(info1.n_matches, 64))
 
+    # tiny map with DEFAULT election capacity: P*N < max_pairs must not
+    # crash top_k (k is clamped to the vote-array size)
+    f2, info2 = C.pair_match_factors(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.ones((P, N), bool),
+        jnp.asarray(poses), capacity=64, pair_chunk=8,
+        min_pair_matches=1, threshold=2.0)
+    assert int(info2.n_pairs) > 0
+    assert int(info2.pairs_overflow) == 0
+
 
 def test_cpu_refine_baseline_matches_tpu_path(rng):
     """baselines/cpu_refine (f64 LAPACK dense LM, the optimized-CPU bound
