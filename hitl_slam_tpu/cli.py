@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "replay (the reference's dormant "
                         "PostHumanOptimization stage, live here; dense "
                         "solve <=2k poses, matrix-free PCG above)")
+    p.add_argument("--refine-matcher", default="auto",
+                   choices=("auto", "global", "pair"),
+                   help="correspondence search for --post-optimize: "
+                        "'global' 1-NN grid, 'pair' per-pose-pair dense "
+                        "tiles (the reference's FindSTFCorrespondences "
+                        "semantics; needed on heavily re-traversed maps), "
+                        "'auto' falls back global->pair when the global "
+                        "matcher yields zero gated bundles")
     return p
 
 
@@ -228,7 +236,7 @@ def main(argv=None) -> int:
         total = time.perf_counter() - t_start
         print(f"auto-repair: {applied} corrections applied in {total:.2f} s")
         if args.post_optimize:
-            rep = engine.post_optimize()
+            rep = engine.post_optimize(matcher=args.refine_matcher)
             print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
                   f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g}")
         save_results()
@@ -255,7 +263,7 @@ def main(argv=None) -> int:
               f"({total * 1e3 / max(len(live), 1):.1f} ms/cycle incl. "
               f"one dispatch per 8-cycle chain)")
         if args.post_optimize:
-            rep = engine.post_optimize()
+            rep = engine.post_optimize(matcher=args.refine_matcher)
             print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
                   f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g}")
         save_results()
@@ -280,7 +288,7 @@ def main(argv=None) -> int:
         print(f"replayed {len(input_log)} corrections in {total:.2f} s")
         if args.post_optimize:
             t0 = time.perf_counter()
-            rep = engine.post_optimize()
+            rep = engine.post_optimize(matcher=args.refine_matcher)
             dt = (time.perf_counter() - t0) * 1e3
             print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
                   f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g} "
@@ -398,7 +406,7 @@ def main(argv=None) -> int:
                 if correction_mode["on"]:
                     print("cannot post-optimize while in correction mode")
                 else:
-                    rep = engine.post_optimize()
+                    rep = engine.post_optimize(matcher=args.refine_matcher)
                     print(f"post-optimize: {rep.reason} "
                           f"lm_iters={rep.lm_iterations} cost "
                           f"{rep.initial_cost:.4g} -> {rep.final_cost:.4g}")
@@ -427,7 +435,7 @@ def main(argv=None) -> int:
     # no mode selected: print summary and save
     if args.post_optimize:
         t0 = time.perf_counter()
-        rep = engine.post_optimize()
+        rep = engine.post_optimize(matcher=args.refine_matcher)
         dt = (time.perf_counter() - t0) * 1e3
         print(f"post-optimize (STF refine): lm_iters={rep.lm_iterations} "
               f"cost {rep.initial_cost:.4g} -> {rep.final_cost:.4g} "
