@@ -129,10 +129,39 @@ def main(argv=None) -> int:
             overrides["enml_domain"] = args.domain
         if args.robot:
             overrides["RobotConfig.name"] = args.robot
+
+        def _is_lua(path: str) -> bool:
+            # mirror load_config's dispatch: .cfg/.lua that doesn't parse
+            # as TOML is a reference-style Lua config
+            if not path.endswith((".cfg", ".lua")):
+                return False
+            import tomllib
+            try:
+                with open(path, "rb") as f:
+                    tomllib.load(f)
+                return False
+            except (OSError, tomllib.TOMLDecodeError, UnicodeDecodeError):
+                return True
+
+        # ALL Lua files evaluate in ONE shared interpreter environment, in
+        # listed order, merged at the first Lua file's position: the
+        # reference workflow sets cross-file globals (robot.cfg's
+        # RobotConfig drives non_markov_localization.cfg's per-robot
+        # blocks), which per-file evaluation would silently lose
+        lua_files = [p for p in args.config if _is_lua(p)]
+        lua_merged = False
         cfg: dict = {}
         for path in args.config:
             try:
-                part = load_config(path, overrides or None)
+                if _is_lua(path):
+                    if lua_merged:
+                        continue
+                    from .utils.luaconfig import load_lua_config
+
+                    part = load_lua_config(lua_files, overrides or None)
+                    lua_merged = True
+                else:
+                    part = load_config(path)
             except (OSError, ValueError) as e:
                 raise SystemExit(f"ERROR: cannot load config {path}: {e}")
             for k, v in part.items():
@@ -155,7 +184,8 @@ def main(argv=None) -> int:
         print(f"config: domain={dom!r} map={table.get('map_name')!r} "
               f"match_threshold={opts.point_match_threshold} "
               f"max_history={opts.max_history} "
-              f"gn_iterations={opts.gn_iterations}")
+              f"gn_iterations={opts.gn_iterations} "
+              f"sensor_offset={tuple(ep_opts.sensor_offset)}")
     elif args.domain or args.robot:
         raise SystemExit("ERROR: --domain/--robot require --config")
 

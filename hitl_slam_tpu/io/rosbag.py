@@ -70,7 +70,10 @@ def _parse_header(buf: bytes) -> dict:
         off += flen
         eq = field.find(b"=")
         if eq >= 0:
-            fields[field[:eq].decode()] = field[eq + 1:]
+            # errors="replace": a corrupt header key must not abort the
+            # ingest (the record is skipped downstream like other malformed
+            # records), matching the value-side decoding policy
+            fields[field[:eq].decode(errors="replace")] = field[eq + 1:]
     return fields
 
 

@@ -172,6 +172,10 @@ class HitLSLAM:
         if sel is None:
             return
         st = self.state
+        # retire any superseded dispatch BEFORE launching the new one: the
+        # relay serializes programs, so an in-flight stale prefetch would
+        # contend with (and delay) the dispatch below
+        self._discard_speculative()
         out = cycle_step(
             st.points, st.point_mask, st.poses, st.covariances,
             st.constraints,
@@ -180,7 +184,6 @@ class HitLSLAM:
             jnp.asarray(self.num_constraints, jnp.int32),
             lm_config=self.lm_config,
         )
-        self._discard_speculative()  # retire any superseded dispatch first
         box: dict = {}
 
         def prefetch(o=out, box=box):

@@ -308,7 +308,10 @@ def grid_match(
     valid = jnp.isfinite(res[:, 0])
     return Matches(target=jnp.where(valid, res[:, 1].astype(jnp.int32), 0),
                    valid=valid,
-                   dist=jnp.sqrt(jnp.where(valid, res[:, 0], 0.0)),
+                   # the matmul-expanded |q|^2+|c|^2-2q.c can round slightly
+                   # negative for near-coincident points -> clamp before sqrt
+                   dist=jnp.sqrt(jnp.maximum(
+                       jnp.where(valid, res[:, 0], 0.0), 0.0)),
                    dropped=dropped)
 
 

@@ -177,6 +177,34 @@ def test_cli_enml_domain_flag(tmp_path, capsys):
     assert "match_threshold=0.25" in cap
     # the later config file won the per-key merge (layering semantics)
     assert "max_history=8" in cap
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG_DIR),
+                    reason="reference tree not present")
+def test_cli_enml_cross_file_robot_config(tmp_path, capsys):
+    """The reference workflow edits robot.cfg's name in place; the CLI must
+    evaluate all Lua files in ONE shared interpreter env so robot.cfg's
+    RobotConfig global drives non_markov_localization.cfg's per-robot
+    override blocks (was silently lost under per-file evaluation)."""
+    from hitl_slam_tpu.cli_enml import main as enml_main
+
+    robot = tmp_path / "robot.cfg"
+    src = open(os.path.join(REF_CFG_DIR, "robot.cfg")).read()
+    robot.write_text(src.replace('name = "Cobot-Sim";', 'name = "Cobot3";'))
+    small = tmp_path / "small.toml"
+    small.write_text("[NonMarkovLocalization]\nmax_history = 8\n"
+                     "max_solver_iterations = 8\n")
+    out = str(tmp_path / "o")
+    argv = ["--synthetic", "--steps", "24", "-o", out]
+    for c in [os.path.join(REF_CFG_DIR, "common.cfg"), str(robot),
+              os.path.join(REF_CFG_DIR, "non_markov_localization.cfg"),
+              str(small)]:
+        argv += ["--config", c]
+    rc = enml_main(argv)      # NO --robot: the file's own name must fire
+    assert rc == 0
+    cap = capsys.readouterr().out
+    # Cobot3 block (non_markov_localization.cfg:84-117): laser offset 0.14
+    assert "sensor_offset=(0.14" in cap
     # the orebro-domain PARAMETER resolution is asserted compile-free in
     # test_options_from_reference_table (a second full localizer compile
     # at different EnmlOptions costs ~4 min of CPU suite time)

@@ -52,6 +52,22 @@ def test_grid_match_vs_bruteforce(rng):
     assert int(m.dropped) == 0
 
 
+def test_grid_match_near_coincident_dist_finite(rng):
+    """The matmul-expanded distance can round negative for near-coincident
+    cross-pose points; Matches.dist must stay finite (was NaN)."""
+    n = 48
+    x = np.linspace(0.0, 2.0, n)
+    base = np.stack([x, np.zeros(n)], -1).astype(np.float32)
+    jit_ = rng.normal(0, 2e-6, (n, 2)).astype(np.float32)
+    pts = jnp.asarray(np.stack([base, base + jit_]))
+    nrm = jnp.asarray(np.tile(np.array([[0.0, 1.0]], np.float32),
+                              (2, n, 1)))
+    m = C.grid_match(pts, nrm, jnp.ones((2, n), bool))
+    assert bool(m.valid.any())
+    d = np.asarray(m.dist)
+    assert np.isfinite(d[np.asarray(m.valid)]).all()
+
+
 def test_grid_match_density_cap_counts_dropped(rng):
     """Cells holding more than `bucket` points density-cap the excess and
     report it in Matches.dropped; surviving points still match exactly."""
