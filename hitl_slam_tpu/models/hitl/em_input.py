@@ -63,23 +63,27 @@ def verify_input(world_pts: Array, mask: Array, selected: Array) -> Array:
 
 def _segfit_theta(pts: Array, w: Array, cm: Array, half_len: Array,
                   theta0: Array) -> Array:
-    """25 GN steps on theta for the fixed-center, fixed-length segment fit.
+    """25 Newton steps on theta for the fixed-center, fixed-length segment
+    fit.
 
     Minimizes sum_i w_i * dist(p_i, seg(theta))^2 where
     seg(theta) = [cm - L a, cm + L a], a = (cos theta, sin theta).
     Closed-form derivative; clamped ends handled exactly.
 
-    The inner step is reduced algebraically so each GN iteration is ~6 fused
-    elementwise passes with NO sqrt (this runs 25x per round over the full
-    point map — it was the single largest device cost of the repair cycle):
-      - e_pos.n = e_neg.n = rel.n = perp            (a.n = 0)
-      - |e_+-|^2 = (|t| - L)^2 + perp^2  (computed difference-first: the
-        rel2 + L^2 - 2L|t| form cancels catastrophically for points near an
-        endpoint, where both terms are O(L^2) but |e|^2 ~ cm^2)
-      - end zones:  jac*d = +-perp*L,  jac^2 = perp^2 L^2 / |e|^2
-        interior:   jac*d = -t*perp,   jac^2 = t^2
-    Weights fold in by pre-zeroing rel (w in {0,1}): zeroed points land in
-    the interior branch with exactly zero num/den contribution.
+    The inner step is reduced algebraically so each iteration is ~4 fused
+    elementwise passes with NO sqrt or division (this runs 25x per round
+    over the full point map — it was the single largest device cost of the
+    repair cycle). With t = rel.a, perp = rel.n, tc = clip(t, -L, L):
+      - 0.5 dF/dtheta = sum -perp * tc    (interior: -t perp; end zones:
+        0.5 d|e|^2/dtheta = e.de/dtheta = -sign(t) L (e.n) = -sign(t) L perp)
+      - curvature     = sum |t * tc|      (interior: the PSD GN t^2; end
+        zones: the EXACT Newton 0.5 d2|e|^2/dtheta2 = L^2 + L(e.a) = L|t| —
+        the GN jac^2 = L^2 perp^2/|e|^2 vanishes at the optimum there, and
+        undamped steps oscillated without converging on end-zone-dominated
+        inlier sets; the pre-review form also carried a flipped end-zone
+        GRADIENT sign that pushed theta away from the minimum)
+    Weights fold in by pre-zeroing rel (w in {0,1}): zeroed points
+    contribute exactly zero to both sums.
     """
     relw = (pts - cm) * w[:, None]          # [M, 2]; non-inliers -> 0
 
@@ -87,16 +91,9 @@ def _segfit_theta(pts: Array, w: Array, cm: Array, half_len: Array,
         c, s = jnp.cos(theta), jnp.sin(theta)
         t = relw[:, 0] * c + relw[:, 1] * s          # rel . a
         perp = relw[:, 1] * c - relw[:, 0] * s       # rel . n
-        interior = jnp.abs(t) <= half_len
-        pos = t > 0
-        pl = perp * half_len
-        # squared end distances (no sqrt anywhere; difference-first = stable)
-        dt_end = jnp.abs(t) - half_len
-        e2 = jnp.maximum(dt_end * dt_end + perp * perp, 1e-18)
-        nd = jnp.where(interior, -t * perp, jnp.where(pos, pl, -pl))
-        dd = jnp.where(interior, t * t, pl * pl / e2)
-        num = jnp.sum(nd)
-        den = jnp.sum(dd)
+        tc = jnp.clip(t, -half_len, half_len)
+        num = jnp.sum(-perp * tc)
+        den = jnp.sum(jnp.abs(t * tc))
         return theta - num / jnp.maximum(den, 1e-9)
 
     # Python-unrolled: 25 static GN steps; a fori_loop here costs ~15us per

@@ -58,6 +58,9 @@ class HitLSLAM:
         self.prev_poses = None
         self.prev_covariances = None
         self.prev_num_constraints = 0
+        # True iff the snapshot in prev_* belongs to a post_optimize solve
+        # (undo then reverts the refine without touching input_history)
+        self._undo_is_refine = False
         self.num_constraints = 0
         self.input_history: list[SingleInput] = []
         self.num_completed_cycles = 0
@@ -219,7 +222,21 @@ class HitLSLAM:
 
     def undo(self) -> bool:
         """Single-depth undo (HitLSLAM.cpp:262-276): restore pose/covariance
-        snapshot and deactivate the last correction's constraint rows."""
+        snapshot and deactivate the last correction's constraint rows.
+
+        When the most recent solve was post_optimize (a net-new stage with
+        no input-history entry), undo reverts THAT without touching the
+        history — the last human correction stays undoable afterwards."""
+        if self._undo_is_refine:
+            st_r = self.state
+            self.state = MapState(
+                poses=self.prev_poses, covariances=self.prev_covariances,
+                points=st_r.points, normals=st_r.normals,
+                point_mask=st_r.point_mask, odometry=st_r.odometry,
+                constraints=st_r.constraints,
+            )
+            self._undo_is_refine = False
+            return True
         if not self.input_history:
             return False
         if self.input_history[-1].undone:
@@ -292,6 +309,8 @@ class HitLSLAM:
         per-pair matcher. "global"/"pair" force one path."""
         from .refine import post_human_refine
 
+        # retire any in-flight speculative prefetch (serialized relay)
+        self._discard_speculative()
         st = self.state
         self.prev_poses = st.poses
         self.prev_covariances = st.covariances
@@ -313,6 +332,9 @@ class HitLSLAM:
             points=st.points, normals=st.normals, point_mask=st.point_mask,
             odometry=st.odometry, constraints=st.constraints,
         )
+        # the prev_* snapshot now belongs to this refine: undo reverts it
+        # without marking the last HUMAN input undone
+        self._undo_is_refine = True
         # capacity diagnostics beyond lost rows surface in the reason text
         # (ADVICE r2 rule: capacity violations must be detectable)
         extra = ""
@@ -366,10 +388,14 @@ class HitLSLAM:
 
         if not inputs:
             return []
+        # retire any in-flight speculative prefetch first: the relay
+        # serializes programs and would stall the chain dispatches
+        self._discard_speculative()
         st = self.state
         self.prev_poses = st.poses
         self.prev_covariances = st.covariances
         self.prev_num_constraints = self.num_constraints
+        self._undo_is_refine = False
         reports: list[CycleReport] = []
         for lo in range(0, len(inputs), chain_capacity):
             chunk = inputs[lo:lo + chain_capacity]
@@ -402,7 +428,11 @@ class HitLSLAM:
                     reports.append(CycleReport(
                         False, "unsupported selection shape"))
                     continue
-                if record and bool(ver[i]):
+                diverged = bool(ver[i]) and bool(ordv[i]) and not bool(ok[i])
+                if record and bool(ver[i]) and not diverged:
+                    # parity with _cycle: verified inputs record even when
+                    # order-rejected, but a DIVERGED solve records nothing
+                    # (sequential replay returns before its record block)
                     self.input_history.append(
                         SingleInput(s.correction_type, 0, live[i].copy()))
                 if not bool(ver[i]):
@@ -527,6 +557,7 @@ class HitLSLAM:
             self.prev_poses = prev_poses
             self.prev_covariances = prev_covariances
             self.prev_num_constraints = prev_n
+            self._undo_is_refine = False
 
         if not bool(order_valid):
             return CycleReport(False, "selection overlap / no backprop window",
@@ -535,6 +566,7 @@ class HitLSLAM:
         self.prev_poses = prev_poses
         self.prev_covariances = prev_covariances
         self.prev_num_constraints = prev_n
+        self._undo_is_refine = False
         self.num_constraints += int(n_new)
         dropped = 0
         cap = st.constraints.capacity - 1

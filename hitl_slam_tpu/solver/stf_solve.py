@@ -109,7 +109,15 @@ def compact_pair_rows(stf: C.STFFactors, run_last: Array, P: int,
     oob = jnp.full((1,), P, jnp.int32)
     pi0 = jnp.concatenate([stf.pose0, oob])
     pi1 = jnp.concatenate([stf.pose1, oob])
-    return idx, pi0[idx], pi1[idx], dropped
+    # fill rows get DISTINCT out-of-bounds destinations (P + slot): every
+    # consumer scatters with unique_indices=True, and a shared P would make
+    # that promise false (JAX documents UB for violated uniqueness, even
+    # though mode="drop" discards these rows today)
+    fill_oob = P + jnp.arange(max_pairs, dtype=jnp.int32)
+    filled_row = idx < Cn
+    bi = jnp.where(filled_row, pi0[idx], fill_oob)
+    bj = jnp.where(filled_row, pi1[idx], fill_oob)
+    return idx, bi, bj, dropped
 
 
 def stf_onehots(stf: C.STFFactors, P: int, dtype) -> tuple | None:
@@ -375,24 +383,33 @@ def _pcg_reductions(stf_s: C.STFFactors, run_start_pair: Array,
     (cbi ascending by construction) gets bi-runs directly and bj-runs via a
     second <=max_pairs permutation."""
     cidx, cbi, cbj = pair_compact
+
+    def _dst(keys_padded, rep):
+        # distinct OOB fills (P + slot) keep the consumers' unique_indices
+        # promise honest (see compact_pair_rows)
+        n = rep.shape[0]
+        d = keys_padded[jnp.minimum(rep, keys_padded.shape[0] - 1)]
+        fill = (rep >= keys_padded.shape[0] - 1) | (d >= P)
+        return jnp.where(fill, P + jnp.arange(n, dtype=jnp.int32), d)
+
     key0 = jnp.where(stf_s.valid, stf_s.pose0, _INT32_MAX)
     run_start_p0, rep_p0 = _sorted_runs(key0, P)
     oobP = jnp.full((1,), P, jnp.int32)
-    dst_p0 = jnp.concatenate([stf_s.pose0, oobP])[rep_p0]
+    dst_p0 = _dst(jnp.concatenate([stf_s.pose0, oobP]), rep_p0)
     key1 = jnp.where(stf_s.valid, stf_s.pose1, _INT32_MAX)
     ord1 = jnp.argsort(key1).astype(jnp.int32)
     run_start_p1, rep_p1 = _sorted_runs(key1[ord1], P)
-    dst_p1 = jnp.concatenate([stf_s.pose1[ord1], oobP])[rep_p1]
+    dst_p1 = _dst(jnp.concatenate([stf_s.pose1[ord1], oobP]), rep_p1)
     # pair-table runs: grouped by destination pose0 (bi) and pose1 (bj)
     run_start_bi, rep_bi = _sorted_runs(
         jnp.where(cbi < P, cbi, _INT32_MAX), P)
-    dst_bi = jnp.concatenate([cbi, oobP])[rep_bi]
+    dst_bi = _dst(jnp.concatenate([cbi, oobP]), rep_bi)
     ordp1 = jnp.argsort(jnp.where(cbj < P, cbj, _INT32_MAX)).astype(jnp.int32)
     cbj_o = cbj[ordp1]
     cbi_o = cbi[ordp1]
     run_start_bj, rep_bj = _sorted_runs(
         jnp.where(cbj_o < P, cbj_o, _INT32_MAX), P)
-    dst_bj = jnp.concatenate([cbj_o, oobP])[rep_bj]
+    dst_bj = _dst(jnp.concatenate([cbj_o, oobP]), rep_bj)
     return dict(run_start_pair=run_start_pair, cidx=cidx, cbi=cbi, cbj=cbj,
                 run_start_p0=run_start_p0, rep_p0=rep_p0, dst_p0=dst_p0,
                 ord1=ord1, run_start_p1=run_start_p1, rep_p1=rep_p1,
@@ -455,6 +472,25 @@ def _pair_block_matvec(B: Array, red: dict, P: int):
     return mv
 
 
+def _mnt_updates(config: LMConfig, dtype, c, c_new, step, diag, g, mu, nu, x):
+    """Shared Madsen-Nielsen-Tingleff acceptance/damping/termination block
+    for the STF LM drivers (dense two-pass, dense fused, PCG) — one copy so
+    trust-region tuning cannot silently diverge between them.
+    Returns (accept, mu_out, nu_out, done)."""
+    pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
+    rho = (c - c_new) / jnp.maximum(pred, 1e-30)
+    accept = (rho > 0) & jnp.isfinite(c_new)
+    factor = jnp.maximum(1.0 / 3.0,
+                         1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
+    mu_out = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
+    nu_out = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+    fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
+    sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
+                      * (jnp.linalg.norm(x) + config.parameter_tolerance))
+    mdone = mu_out >= config.mu_collapse
+    return accept, mu_out, nu_out, fdone | sdone | mdone
+
+
 @partial(jax.jit, static_argnames=("config", "include_chain", "max_pairs"))
 def stf_pcg_lm_solve(
     poses0: Array,
@@ -493,8 +529,9 @@ def stf_pcg_lm_solve(
 
     c0 = cost_only(poses0)
 
-    def body(state):
-        x, mu, nu, c, it, done = state
+    def assemble_all(x):
+        """Chain + STF system at x: (D_aug [P,3,3], U [P-1,3,3],
+        g_tot [P,3], B pair blocks)."""
         if include_chain:
             D, U, g, _ = normal_equations(problem, x)
         else:
@@ -503,8 +540,15 @@ def stf_pcg_lm_solve(
             U = jnp.zeros((P - 1, 3, 3), dtype)
             g = jnp.zeros((P, 3), dtype)
         Dh, gh, _, B = _stf_system_compact(stf_s, x, red)
-        D_aug = D + Dh
-        g_tot = g + gh
+        return D + Dh, U, g + gh, B
+
+    sys0 = assemble_all(poses0)
+
+    def body(state):
+        x, (D_aug, U, g_tot, B), mu, nu, c, it, done = state
+        # the system is always valid at the current x — a REJECTED step
+        # leaves x unchanged, so only mu changes and the (dominant) [C]-row
+        # factor pass is skipped; lax.cond below reassembles on accept only
         diag = jnp.clip(jnp.diagonal(D_aug, axis1=-2, axis2=-1),
                         config.min_diagonal, config.max_diagonal)
         D_damped = D_aug + mu * jax.vmap(jnp.diag)(diag)
@@ -515,29 +559,23 @@ def stf_pcg_lm_solve(
         )
         x_new = x + step
         c_new = cost_only(x_new)
-        pred = 0.5 * jnp.sum(step * (mu * diag * step - g_tot))
-        rho = (c - c_new) / jnp.maximum(pred, 1e-30)
-        accept = (rho > 0) & jnp.isfinite(c_new)
+        accept, mu, nu, done_new = _mnt_updates(
+            config, dtype, c, c_new, step, diag, g_tot, mu, nu, x)
         x = jnp.where(accept, x_new, x)
         c_next = jnp.where(accept, c_new, c)
-        factor = jnp.maximum(1.0 / 3.0,
-                             1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
-        mu = jnp.clip(jnp.where(accept, mu * factor, mu * nu), 1e-32, 1e32)
-        nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
-        fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
-        sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
-                          * (jnp.linalg.norm(x) + config.parameter_tolerance))
-        mdone = mu >= config.mu_collapse
-        return x, mu, nu, c_next, it + 1, done | fdone | sdone | mdone
+        done = done | done_new
+        sys_ = lax.cond(accept & ~done, assemble_all,
+                        lambda _x: (D_aug, U, g_tot, B), x)
+        return x, sys_, mu, nu, c_next, it + 1, done
 
     def cond(state):
-        _, _, _, _, it, done = state
+        _, _, _, _, _, it, done = state
         return (it < config.max_iterations) & ~done
 
-    init = (poses0, jnp.asarray(config.initial_mu, dtype),
+    init = (poses0, sys0, jnp.asarray(config.initial_mu, dtype),
             jnp.asarray(2.0, dtype), c0, jnp.asarray(0, jnp.int32),
             jnp.asarray(False))
-    x, _, _, c, it, _ = lax.while_loop(cond, body, init)
+    x, _, _, _, c, it, _ = lax.while_loop(cond, body, init)
     return STFSolveResult(
         poses=x, final_cost=c, initial_cost=c0, iterations=it,
         num_matches=jnp.sum(stf_s.valid), pairs_dropped=pairs_dropped,
@@ -617,21 +655,6 @@ def stf_lm_solve(
             jnp.swapaxes(L, -1, -2), y, lower=False)[:, 0]
         return step, diag
 
-    def _updates(c, c_new, step, diag, g, mu, nu, x):
-        pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
-        rho = (c - c_new) / jnp.maximum(pred, 1e-30)
-        accept = (rho > 0) & jnp.isfinite(c_new)
-        factor = jnp.maximum(1.0 / 3.0,
-                             1.0 - (2.0 * rho - 1.0) ** 3).astype(dtype)
-        mu_out = jnp.clip(jnp.where(accept, mu * factor, mu * nu),
-                          1e-32, 1e32)
-        nu_out = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
-        fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
-        sdone = accept & (jnp.linalg.norm(step) <= config.parameter_tolerance
-                          * (jnp.linalg.norm(x) + config.parameter_tolerance))
-        mdone = mu_out >= config.mu_collapse
-        return accept, mu_out, nu_out, fdone | sdone | mdone
-
     def body(state):
         x, H, g, mu, nu, c, it, done = state
         # H, g are always valid at the current x: a REJECTED step leaves x
@@ -640,7 +663,8 @@ def stf_lm_solve(
         step, diag = _solve_step(H, g, mu)
         x_new = x + step.reshape(-1, 3)
         c_new = cost_only(x_new)
-        accept, mu, nu, done_new = _updates(c, c_new, step, diag, g, mu, nu, x)
+        accept, mu, nu, done_new = _mnt_updates(
+            config, dtype, c, c_new, step, diag, g, mu, nu, x)
         x = jnp.where(accept, x_new, x)
         c_next = jnp.where(accept, c_new, c)
         done = done | done_new
@@ -654,7 +678,8 @@ def stf_lm_solve(
         x_new = x + step.reshape(-1, 3)
         # ONE factor pass: trial H/g/cost together; keep them only on accept
         H_new, g_new, c_new = assemble_cost(x_new)
-        accept, mu, nu, done_new = _updates(c, c_new, step, diag, g, mu, nu, x)
+        accept, mu, nu, done_new = _mnt_updates(
+            config, dtype, c, c_new, step, diag, g, mu, nu, x)
         x = jnp.where(accept, x_new, x)
         c_next = jnp.where(accept, c_new, c)
         H = jnp.where(accept, H_new, H)

@@ -192,6 +192,32 @@ def test_undo_restores_poses(session, drifted_map):
     assert not session.undo()
 
 
+def test_undo_after_post_optimize_reverts_refine_only(session, drifted_map):
+    """post_optimize has no input-history entry; undo after it must revert
+    the REFINE without marking the last human correction undone (review
+    finding: the correction was flagged undone while its effects stayed)."""
+    m = drifted_map
+    inp = _make_correction(m, CorrectionType.COLINEAR)
+    session.add_correction_points(int(inp.correction_type), inp.points[0],
+                                  inp.points[1])
+    session.add_correction_points(int(inp.correction_type), inp.points[2],
+                                  inp.points[3])
+    rep = session.run()
+    assert rep.accepted
+    post_cycle = session.get_poses()
+    rep2 = session.post_optimize(max_iterations=5)
+    assert rep2.accepted
+    # 1st undo: reverts the refine, history untouched
+    assert session.undo()
+    np.testing.assert_allclose(session.get_poses(), post_cycle, atol=1e-6)
+    assert session.input_history[-1].undone == 0
+    # 2nd undo: now reverts the human correction itself
+    assert session.undo()
+    assert session.input_history[-1].undone == 1
+    # 3rd refused (depth 1)
+    assert not session.undo()
+
+
 def test_unverified_input_rejected(session):
     bogus = SingleInput(
         CorrectionType.COLINEAR, 0,
