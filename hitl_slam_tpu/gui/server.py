@@ -45,6 +45,10 @@ class GuiServer:
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
         self._stop = None
+        # serializes ENGINE callbacks across clients: `async for` only
+        # orders events per connection, and two viewers pressing keys
+        # concurrently must not run the device pipeline against itself
+        self._cb_lock = threading.Lock()
         # latched last frame, replayed to late-joining clients — the analog
         # of the reference's latched queue-size-1 publisher
         # (HitLSLAM_main.cpp:986-988)
@@ -57,20 +61,26 @@ class GuiServer:
                 await ws.send(self._last_frame)
             async for msg in ws:
                 ev = parse_event(msg)
+
+                def locked(fn, *a):
+                    with self._cb_lock:
+                        fn(*a)
+
                 if isinstance(ev, MouseClickEvent) and self.on_mouse_click:
-                    await asyncio.to_thread(self.on_mouse_click, ev)
+                    await asyncio.to_thread(locked, self.on_mouse_click, ev)
                 elif isinstance(ev, KeyboardEvent) and self.on_keyboard:
-                    await asyncio.to_thread(self.on_keyboard, ev)
+                    await asyncio.to_thread(locked, self.on_keyboard, ev)
                 elif (isinstance(ev, dict) and ev.get("type") == "capture"
                       and self.on_capture):
                     await asyncio.to_thread(
-                        self.on_capture, str(ev.get("filename", "capture.png")))
+                        locked, self.on_capture,
+                        str(ev.get("filename", "capture.png")))
                 elif (isinstance(ev, dict) and ev.get("type") == "map_edit"
                       and self.on_map_edit):
-                    await asyncio.to_thread(self.on_map_edit, ev)
+                    await asyncio.to_thread(locked, self.on_map_edit, ev)
                 elif (isinstance(ev, dict) and ev.get("type") == "graph_edit"
                       and self.on_graph_edit):
-                    await asyncio.to_thread(self.on_graph_edit, ev)
+                    await asyncio.to_thread(locked, self.on_graph_edit, ev)
                 elif (isinstance(ev, dict) and ev.get("type") == "shutdown"
                       and self.on_shutdown):
                     self.on_shutdown()

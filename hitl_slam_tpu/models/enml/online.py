@@ -131,6 +131,13 @@ class OnlineLocalizer:
             self.poses.append(self._pose.copy())
             self.clouds.append(pts)
             self.normals.append(nrm)
+            # bounded history: a long-running session keeps only the newest
+            # max_nodes (the trailing-window localize never looks further)
+            if len(self.poses) > self.max_nodes:
+                drop = len(self.poses) - self.max_nodes
+                del self.poses[:drop]
+                del self.clouds[:drop]
+                del self.normals[:drop]
         self._acc[:] = 0.0
         self._relocalize_window()
 

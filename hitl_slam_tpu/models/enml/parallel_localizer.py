@@ -312,32 +312,49 @@ def checkerboard_localize(
         if P > half:
             poses = half_pass(poses, starts1_np)
 
-    # ---- covariance extraction (even tiling): evaluate each even window's
-    # Hessian AT the final estimates (eval_only: one match + one assembly,
-    # no GN iterations); it provides every pose's 3x3 marginal ----
-    B0 = starts0_np.shape[0]
-    Bpad = -(-B0 // chunk) * chunk
-    starts_p = jnp.concatenate(
-        [starts0_np, jnp.full((Bpad - B0,), P + W, starts0_np.dtype)])
+    # ---- covariance extraction: evaluate each window's Hessian AT the
+    # final estimates (eval_only: one match + one assembly, no GN
+    # iterations). A window's FIRST pose is PINNED (identity block), so its
+    # inverse block is a bogus ~I marginal — the even tiling therefore
+    # cannot provide the marginals of poses 0, W, 2W, ...; a second eval
+    # pass over the ODD tiling (where those poses sit at interior offset
+    # ceil(W/2)) overwrites exactly those rows (review finding r3) ----
+    def eval_tiling(starts_np):
+        B = starts_np.shape[0]
+        Bpad = -(-B // chunk) * chunk
+        starts_p = jnp.concatenate(
+            [starts_np, jnp.full((Bpad - B,), P + W, starts_np.dtype)])
 
-    def run_chunk(chunk_starts):
-        def one(s):
-            _np_, H, idx, active = solve_one(s, poses, eval_only=True)
-            covs = window_covariances(H, active, _np_[:, 2])
-            return covs, idx, active
+        def run_chunk(chunk_starts):
+            def one(s):
+                _np_, H, idx, active = solve_one(s, poses, eval_only=True)
+                covs = window_covariances(H, active, _np_[:, 2])
+                # the pinned window-first pose's block is NOT a marginal
+                pinned = jnp.arange(W) == 0
+                return covs, idx, active & ~pinned
 
-        return jax.vmap(one)(chunk_starts)
+            return jax.vmap(one)(chunk_starts)
 
-    covs, idxs, actives = jax.tree_util.tree_map(
-        lambda a: a.reshape((-1,) + a.shape[2:]),
-        lax.map(run_chunk, starts_p.reshape(-1, chunk)))   # [Bpad, W, ...]
-    # padding windows carry active=False throughout, so their rows land in
-    # the dump slot below — no explicit trimming needed
-    covs = covs.reshape(-1, 3, 3)
-    idxs = idxs.reshape(-1)
-    actives = actives.reshape(-1)
+        covs, idxs, actives = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]),
+            lax.map(run_chunk, starts_p.reshape(-1, chunk)))  # [Bpad, W, ..]
+        # padding windows carry active=False throughout, so their rows land
+        # in the dump slot below — no explicit trimming needed
+        return (covs.reshape(-1, 3, 3), idxs.reshape(-1),
+                actives.reshape(-1))
+
+    covs, idxs, actives = eval_tiling(starts0_np)
     tgt = jnp.where(actives, idxs, P)
     covariances = jnp.zeros((P + 1, 3, 3), dtype).at[tgt].set(covs)[:P]
+    if P > half:
+        covs1, idxs1, actives1 = eval_tiling(starts1_np)
+        # only the even tiling's pinned poses (multiples of W) need the odd
+        # pass; everything else keeps the even-tiling marginal
+        fill = actives1 & (idxs1 % W == 0)
+        tgt1 = jnp.where(fill, idxs1, P)
+        covariances = jnp.concatenate(
+            [covariances, jnp.zeros((1, 3, 3), dtype)],
+            0).at[tgt1].set(covs1)[:P]
     covariances = covariances.at[0].set(jnp.eye(3, dtype=dtype) * 1e-6)
 
     poses = poses.at[:, 2].set(angle_mod(poses[:, 2]))

@@ -65,7 +65,7 @@ def match_segments(
     return idx, mask & (best < threshold)
 
 
-def _ltf_system(segs, pts, mask, pose, seg_idx, valid, w):
+def _ltf_system(segs, pts, pose, seg_idx, valid, w):
     """GN normal equations for one pose's point-to-line factors."""
     world = rotate(pose[2], pts) + pose[:2]
     a = segs[seg_idx, 0:2]
@@ -106,7 +106,7 @@ def localize_against_map(
         if it % rematch_every == 0:
             world = rotate(pose[2], pts) + pose[:2]
             seg_idx, valid = match_segments(segs, world, mask, threshold)
-        H, g, cost = _ltf_system(segs, pts, mask, pose, seg_idx, valid, w)
+        H, g, cost = _ltf_system(segs, pts, pose, seg_idx, valid, w)
         Hd = H + damping * jnp.eye(3, dtype=pts.dtype) * jnp.maximum(
             jnp.trace(H), 1.0)
         step = jnp.linalg.solve(Hd, -g)

@@ -61,8 +61,14 @@ def extract_segments(
     def round_step(carry, key_r):
         avail, _ = carry
         k1, k2 = jax.random.split(key_r)
-        ia = jax.random.randint(k1, (p.num_hypotheses,), 0, M)
-        ib = jax.random.randint(k2, (p.num_hypotheses,), 0, M)
+        # sample hypothesis endpoints from AVAILABLE points: late rounds
+        # hold only a small unclaimed cluster, and uniform sampling over M
+        # rarely draws an available PAIR there — the round would die at the
+        # ok_h gate and real short walls would never be extracted
+        p_av = avail.astype(pts.dtype)
+        p_av = p_av / jnp.maximum(jnp.sum(p_av), 1.0)
+        ia = jax.random.choice(k1, M, (p.num_hypotheses,), p=p_av)
+        ib = jax.random.choice(k2, M, (p.num_hypotheses,), p=p_av)
         a = pts[ia]
         b = pts[ib]
         d = b - a
@@ -77,34 +83,41 @@ def extract_segments(
         inl = (dist < p.inlier_threshold) & avail[None, :]
         counts = jnp.sum(inl, axis=1) * ok_h
         best = jnp.argmax(counts)
+        # all-zero scores mean argmax picked an arbitrary (possibly
+        # degenerate) hypothesis: a duplicate-point pair has n_b = 0 and
+        # would claim EVERY available point as an inlier — gate the round
+        best_ok = counts[best] > 0
 
         n_b, c_b = n[best], c[best]
-        inliers = (jnp.abs(pts @ n_b - c_b) < p.inlier_threshold) & avail
+        inliers = ((jnp.abs(pts @ n_b - c_b) < p.inlier_threshold) & avail
+                   & best_ok)
 
         # total-least-squares refine over the claimed inliers
         wsum = jnp.maximum(jnp.sum(inliers), 1)
         cm = jnp.sum(jnp.where(inliers[:, None], pts, 0.0), 0) / wsum
         rel = jnp.where(inliers[:, None], pts - cm, 0.0)
         S = rel.T @ rel
-        evals, evecs = jnp.linalg.eigh(S)
+        _, evecs = jnp.linalg.eigh(S)
         direction = evecs[:, 1]     # largest eigenvalue -> line direction
-        t = rel @ direction
         # re-gate inliers against the refined line
         n_ref = jnp.stack([-direction[1], direction[0]])
         d_ref = jnp.abs((pts - cm) @ n_ref)
-        inliers = (d_ref < p.inlier_threshold) & avail
+        inliers = (d_ref < p.inlier_threshold) & avail & best_ok
         wsum = jnp.maximum(jnp.sum(inliers), 1)
         cm = jnp.sum(jnp.where(inliers[:, None], pts, 0.0), 0) / wsum
         rel = jnp.where(inliers[:, None], pts - cm, 0.0)
         S = rel.T @ rel
         t = rel @ direction
-        t_lo = jnp.min(jnp.where(inliers, t, jnp.inf))
-        t_hi = jnp.max(jnp.where(inliers, t, -jnp.inf))
+        count = jnp.sum(inliers)
+        t_lo = jnp.where(count > 0,
+                         jnp.min(jnp.where(inliers, t, jnp.inf)), 0.0)
+        t_hi = jnp.where(count > 0,
+                         jnp.max(jnp.where(inliers, t, -jnp.inf)), 0.0)
         p1 = cm + t_lo * direction
         p2 = cm + t_hi * direction
-        count = jnp.sum(inliers)
         length = t_hi - t_lo
-        valid = (count >= p.min_inliers) & (length >= p.min_length)
+        valid = ((count >= p.min_inliers) & (length >= p.min_length)
+                 & best_ok)
 
         avail = avail & ~(inliers & valid)
         seg = (p1, p2, count.astype(jnp.int32), valid,

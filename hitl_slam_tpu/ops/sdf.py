@@ -116,9 +116,14 @@ def build_sdf(
         weights = weights + w
         return (values, weights), None
 
-    v0 = jnp.full((height, width), p.min_sdf_value, poses.dtype)
+    v0 = jnp.zeros((height, width), poses.dtype)
     w0 = jnp.zeros((height, width), poses.dtype)
     (values, weights), _ = lax.scan(step, (v0, w0), (poses, points, point_mask))
+    # never-observed pixels read min_sdf_value ('behind surface', the
+    # reference's init), not the accumulator's 0/eps = 0 'at surface'
+    # (review finding r3: the old v0 init was destroyed by the first
+    # zero-weight update)
+    values = jnp.where(weights > 0, values, p.min_sdf_value)
     return SdfImage(values=values, weights=weights, origin=origin,
                     resolution=jnp.asarray(res, poses.dtype))
 

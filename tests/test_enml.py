@@ -197,6 +197,14 @@ def test_checkerboard_localize_matches_sequential(small_episode_state):
     for i in range(len(covs)):
         np.testing.assert_allclose(covs[i], covs[i].T, atol=1e-5)
         assert (np.linalg.eigvalsh(covs[i]) > -1e-6).all(), i
+    # window-FIRST poses (multiples of W) must carry real marginals, not
+    # the pinned-identity block (review finding r3: the even tiling pins
+    # its first pose; those rows come from the odd-tiling eval pass)
+    W = min(EnmlOptions().max_history, len(covs))
+    seq_covs = np.asarray(sc)
+    for i in range(W, len(covs), W):
+        assert np.trace(covs[i]) < 0.5, (i, np.trace(covs[i]))
+        assert np.trace(covs[i]) < 50 * max(np.trace(seq_covs[i]), 1e-9), i
 
 
 def test_checkerboard_grid_matcher_path(small_episode_state):
