@@ -84,14 +84,17 @@ def _load_stream(args):
                 time_skip=args.time_skip)
         except (ValueError, OSError) as e:
             raise SystemExit(f"ERROR: {e}")
-        if set_loc is not None:
-            # anchor the trajectory in the map frame: fold the set_location
-            # pose into the first relative-odometry row (the reference sets
-            # global_location/angle, vector_mapping_main.cpp:1271-1289)
-            print(f"set_location: x={set_loc[0]:.2f} y={set_loc[1]:.2f} "
-                  f"angle={set_loc[2]:.3f}")
-            rel = rel.copy()
-            rel[0] = [set_loc[0], set_loc[1], set_loc[2]]
+        if set_loc:
+            # apply each re-localization at its STREAM position (the
+            # reference resets global_location/angle mid-run,
+            # vector_mapping_main.cpp:1271-1289 — subsequent poses
+            # integrate from the given map-frame pose)
+            from .io.rosbag import apply_set_locations
+
+            for k, loc in set_loc:
+                print(f"set_location @scan {k}: x={loc[0]:.2f} "
+                      f"y={loc[1]:.2f} angle={loc[2]:.3f}")
+            rel = apply_set_locations(rel, set_loc)
         return list(scans), angles, rel
     try:
         data = np.load(args.bag)
@@ -130,25 +133,17 @@ def main(argv=None) -> int:
         if args.robot:
             overrides["RobotConfig.name"] = args.robot
 
-        def _is_lua(path: str) -> bool:
-            # mirror load_config's dispatch: .cfg/.lua that doesn't parse
-            # as TOML is a reference-style Lua config
-            if not path.endswith((".cfg", ".lua")):
-                return False
-            import tomllib
-            try:
-                with open(path, "rb") as f:
-                    tomllib.load(f)
-                return False
-            except (OSError, tomllib.TOMLDecodeError, UnicodeDecodeError):
-                return True
+        from .utils.config import is_lua_config as _is_lua
 
         # ALL Lua files evaluate in ONE shared interpreter environment, in
         # listed order, merged at the first Lua file's position: the
         # reference workflow sets cross-file globals (robot.cfg's
         # RobotConfig drives non_markov_localization.cfg's per-robot
         # blocks), which per-file evaluation would silently lose
-        lua_files = [p for p in args.config if _is_lua(p)]
+        try:
+            lua_files = [p for p in args.config if _is_lua(p)]
+        except OSError as e:
+            raise SystemExit(f"ERROR: cannot load config: {e}")
         lua_merged = False
         cfg: dict = {}
         for path in args.config:

@@ -246,14 +246,16 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
     """Convert a bag into the EnML driver's raw-stream arrays.
 
     Returns (scans [T,R] f32, angles [R] f32, rel_odometry [T,3] f32,
-    set_location | None). rel_odometry[i] is the odometry motion between
-    laser scans i-1 and i in scan i-1's frame (dx, dy, dtheta); row 0 is 0.
+    set_locations: list of (scan_index, (x, y, theta)) re-localization
+    events in stream order — apply with apply_set_locations).
+    rel_odometry[i] is the odometry motion between laser scans i-1 and i
+    in scan i-1's frame (dx, dy, dtheta); row 0 is 0.
     """
     scans: list[np.ndarray] = []
     rels: list[np.ndarray] = []
     angles = None
     meta = None
-    set_location = None
+    set_locations: list[tuple[int, tuple]] = []
     t0 = None
 
     # standardized-odometry bookkeeping: pose at previous laser node
@@ -331,7 +333,11 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
         elif msg.msgtype == "vector_slam_msgs/LocalizationMsg" and (
                 msg.topic == SET_LOCATION_TOPIC):
             try:
-                set_location = parse_localization(msg.raw)
+                # applies from the NEXT laser node on, at its stream
+                # position — the reference resets global_location/angle
+                # mid-run (vector_mapping_main.cpp:1271-1289), it does not
+                # re-anchor the whole trajectory
+                set_locations.append((len(scans), parse_localization(msg.raw)))
             except struct.error:
                 skipped += 1
 
@@ -343,10 +349,62 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
                          f"(looked for topics {LASER_TOPICS})")
     scans_arr = np.stack(scans).astype(np.float32)
     rel_arr = np.stack(rels).astype(np.float32)
-    # clip ranges into the sensor's valid interval like AddPose (:1090-1105)
+    # invalid returns (non-finite, or outside the SCANNER's [range_min,
+    # range_max] interval per the LaserScan spec) become np.inf so the
+    # downstream isfinite gate drops them — the old range_max+1.0 sentinel
+    # was FINITE and passed `r < max_point_cloud_range` whenever the config
+    # max exceeded it (12/40/70 m in the reference domains), inventing a
+    # phantom wall point per missed beam (review finding r3)
     lo, hi = meta["range_min"], meta["range_max"]
-    scans_arr = np.where(np.isfinite(scans_arr), scans_arr, hi + 1.0)
-    return scans_arr, angles, rel_arr, set_location
+    bad = (~np.isfinite(scans_arr) | (scans_arr < lo) | (scans_arr > hi))
+    scans_arr = np.where(bad, np.inf, scans_arr).astype(np.float32)
+    return scans_arr, angles, rel_arr, set_locations
+
+
+def apply_set_locations(rel: np.ndarray, events) -> np.ndarray:
+    """Fold re-localization events into the relative-odometry stream at
+    their stream positions (reference LoadSetLocationMessage semantics:
+    global_location/angle reset mid-run, vector_mapping_main.cpp:1271-1289
+    — subsequent poses integrate from the given map-frame pose with the
+    SAME relative motions).
+
+    `rel` uses the driver convention that row 0 is the absolute start pose
+    (or zero). Returns a rel array with the same convention: the poses
+    integrated from it satisfy pose[k] == L for each event (k, L), with the
+    pose chain after k rigidly carried."""
+    if not events:
+        return rel
+    rel = np.asarray(rel, np.float64)
+    T = len(rel)
+
+    def compose(p, d):
+        c, s = np.cos(p[2]), np.sin(p[2])
+        return np.array([p[0] + c * d[0] - s * d[1],
+                         p[1] + s * d[0] + c * d[1], p[2] + d[2]])
+
+    poses = np.zeros((T, 3))
+    poses[0] = rel[0]
+    for i in range(1, T):
+        poses[i] = compose(poses[i - 1], rel[i])
+    for k, loc in sorted(events):
+        k = min(max(int(k), 0), T - 1)
+        L = np.asarray(loc, np.float64)
+        # rigid map: pose -> L o inv(pose_k) o pose for all j >= k
+        dth = L[2] - poses[k, 2]
+        c, s = np.cos(dth), np.sin(dth)
+        R = np.array([[c, -s], [s, c]])
+        t = L[:2] - R @ poses[k, :2]
+        poses[k:, :2] = poses[k:, :2] @ R.T + t
+        poses[k:, 2] += dth
+    out = np.zeros_like(poses)
+    out[0] = poses[0]
+    for i in range(1, T):
+        d = poses[i, :2] - poses[i - 1, :2]
+        c, s = np.cos(-poses[i - 1, 2]), np.sin(-poses[i - 1, 2])
+        out[i] = [c * d[0] - s * d[1], s * d[0] + c * d[1],
+                  np.arctan2(np.sin(poses[i, 2] - poses[i - 1, 2]),
+                             np.cos(poses[i, 2] - poses[i - 1, 2]))]
+    return out.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -464,14 +522,17 @@ def write_bag(path: str, messages, compression: str = "none",
                     else ("bz2" if k % 2 else "none"))
             # real rosbag repeats the connection records in every chunk
             parts = list(conn_records)
+            offset = sum(map(len, parts))   # running byte cursor (O(M))
             index: dict[int, list[tuple[float, int]]] = {}
             for topic, t, raw in cmsgs:
                 cid = topics[topic]
-                index.setdefault(cid, []).append((t, sum(map(len, parts))))
-                parts.append(_record(
+                index.setdefault(cid, []).append((t, offset))
+                rec = _record(
                     {"op": bytes([_OP_MESSAGE_DATA]),
                      "conn": struct.pack("<I", cid),
-                     "time": _time(t)}, raw))
+                     "time": _time(t)}, raw)
+                parts.append(rec)
+                offset += len(rec)
             payload = b"".join(parts)
             size = len(payload)
             blob = bz2.compress(payload) if comp == "bz2" else payload

@@ -84,19 +84,26 @@ class LongTermVectorMap:
     @staticmethod
     def _to_vectors(segs: Segments) -> list[MappingVector]:
         out = []
+        # ONE device->host transfer per field (each np.asarray on a jax
+        # array is a sync, 30-80 ms over the axon tunnel)
         valid = np.asarray(segs.valid)
+        masses = np.asarray(segs.mass)
+        scatters = np.asarray(segs.scatter)
+        p1s = np.asarray(segs.p1)
+        p2s = np.asarray(segs.p2)
+        centroids = np.asarray(segs.centroid)
         for i in np.flatnonzero(valid):
-            mass = float(np.asarray(segs.mass)[i])
-            scatter = np.asarray(segs.scatter)[i]
-            d = np.asarray(segs.p2)[i] - np.asarray(segs.p1)[i]
+            mass = float(masses[i])
+            scatter = scatters[i]
+            d = p2s[i] - p1s[i]
             d = d / max(np.linalg.norm(d), 1e-9)
             n = np.array([-d[1], d[0]])
             perp_var = float(n @ scatter @ n) / max(mass, 1.0)
             out.append(MappingVector(
                 mass=mass,
-                p1=np.asarray(segs.p1)[i].copy(),
-                p2=np.asarray(segs.p2)[i].copy(),
-                p_bar=np.asarray(segs.centroid)[i].copy(),
+                p1=p1s[i].copy(),
+                p2=p2s[i].copy(),
+                p_bar=centroids[i].copy(),
                 scatter=scatter.copy(),
                 endpoint_cov=np.eye(2) * max(perp_var, 1e-6),
             ))

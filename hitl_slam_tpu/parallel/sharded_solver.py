@@ -29,6 +29,8 @@ a virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
+import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -144,17 +146,15 @@ def _pad_factors(odom: res.OdometryFactors, P_total: int) -> res.OdometryFactors
     )
 
 
-def sharded_lm_solve(
-    mesh: Mesh,
-    problem: JointProblem,
-    poses0: Array,
-    config: LMConfig = LMConfig(),
-) -> LMResult:
-    """Pose-sharded LM. poses0 [P, 3] with P divisible by the 'pose' axis."""
-    P_total = poses0.shape[0]
+@functools.lru_cache(maxsize=16)
+def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
+                   dtype_name: str):
+    """Build + jit the shard_mapped LM program ONCE per
+    (mesh, config, size, dtype): a fresh jax.jit(closure) per call never
+    hits the jit cache, and each recompile costs ~minutes through this
+    environment's remote-compile relay (review finding r3)."""
     axis = "pose"
-    dtype = poses0.dtype
-    padded = _pad_factors(problem.odom, P_total)
+    dtype = jnp.dtype(dtype_name)
 
     def lm_local(poses_l, odom_l, ch):
         Pl = poses_l.shape[0]
@@ -244,7 +244,20 @@ def sharded_lm_solve(
         # varying-manual-axes checker can't prove that and would reject it.
         check_vma=False,
     )
-    x, c, c0, it, done = jax.jit(fn)(poses0, padded, problem.compact)
+    return jax.jit(fn)
+
+
+def sharded_lm_solve(
+    mesh: Mesh,
+    problem: JointProblem,
+    poses0: Array,
+    config: LMConfig = LMConfig(),
+) -> LMResult:
+    """Pose-sharded LM. poses0 [P, 3] with P divisible by the 'pose' axis."""
+    P_total = poses0.shape[0]
+    padded = _pad_factors(problem.odom, P_total)
+    fn = _sharded_lm_fn(mesh, config, P_total, jnp.dtype(poses0.dtype).name)
+    x, c, c0, it, done = fn(poses0, padded, problem.compact)
     return LMResult(poses=x, final_cost=c, initial_cost=c0, iterations=it,
                     converged=done)
 

@@ -18,6 +18,25 @@ import time
 from typing import Any, Callable
 
 
+def is_lua_config(path: str) -> bool:
+    """True when `path` would be dispatched to the Lua interpreter by
+    load_config: a .cfg/.lua file that does not parse as TOML (the
+    reference's .cfg files are Lua; a .cfg that parses as TOML — the
+    pre-round-3 convention here — stays TOML). The single source of the
+    format classification; cli_enml groups Lua files through one shared
+    interpreter environment with it."""
+    if not (path.endswith(".cfg") or path.endswith(".lua")):
+        return False
+    import tomllib
+
+    try:
+        with open(path, "rb") as f:
+            tomllib.load(f)
+        return False
+    except (tomllib.TOMLDecodeError, UnicodeDecodeError):
+        return True
+
+
 def load_config(path: str, overrides: dict | None = None) -> dict:
     """Load a single config file: JSON, TOML, or a reference-style Lua .cfg
     (executable configs with domain/robot override blocks — see
@@ -33,17 +52,14 @@ def load_config(path: str, overrides: dict | None = None) -> dict:
         with open(path, "rb") as f:
             return tomllib.load(f)
     if path.endswith(".cfg") or path.endswith(".lua"):
-        # the reference's .cfg files are Lua; a .cfg that parses as TOML
-        # (the pre-round-3 convention here) stays supported
-        import tomllib
-
-        try:
-            with open(path, "rb") as f:
-                return tomllib.load(f)
-        except (tomllib.TOMLDecodeError, UnicodeDecodeError):
+        if is_lua_config(path):
             from .luaconfig import load_lua_config
 
             return load_lua_config(path, overrides)
+        import tomllib
+
+        with open(path, "rb") as f:
+            return tomllib.load(f)
     raise ValueError(f"unsupported config format: {path}")
 
 

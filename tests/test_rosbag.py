@@ -37,7 +37,7 @@ def _cobot_bag_messages(scans, angles, rel):
             t += 0.01
         msgs.append(("laser", "sensor_msgs/LaserScan", t,
                      rb.serialize_laser_scan(scans[i], float(angles[0]), inc,
-                                             range_min=0.02, range_max=12.0,
+                                             range_min=0.02, range_max=13.0,
                                              stamp=t)))
         t += 0.03
     return msgs
@@ -49,14 +49,17 @@ def test_bag_roundtrip_cobot(stream, tmp_path):
     rb.write_bag(path, _cobot_bag_messages(scans, angles, rel))
 
     out_scans, out_angles, out_rel, set_loc = rb.bag_to_stream(path)
-    assert set_loc is None
+    assert set_loc == []
     assert out_scans.shape == (len(scans), len(angles))
     # angle_min + i*increment in f32 vs linspace: ~1e-5 rad reconstruction
     np.testing.assert_allclose(out_angles, angles, atol=1e-4)
-    # non-finite (no-return) rays come back as range_max + 1, which the
-    # episode builder's clip gate then discards
-    expect = np.where(np.isfinite(np.stack(scans)), np.stack(scans), 13.0)
-    np.testing.assert_allclose(out_scans, expect, atol=1e-5)
+    # non-finite (no-return) rays stay np.inf so the episode builder's
+    # isfinite gate drops them (a finite sentinel would pass any config
+    # max_point_cloud_range above it and invent phantom wall points)
+    finite = np.isfinite(np.stack(scans))
+    assert not np.isfinite(out_scans[~finite]).any()
+    np.testing.assert_allclose(out_scans[finite],
+                               np.stack(scans)[finite], atol=1e-5)
     # the two half-deltas compose back to the original relative motion
     np.testing.assert_allclose(out_rel[1:], rel[1:], atol=1e-4)
     np.testing.assert_allclose(out_rel[0], 0.0, atol=1e-6)
@@ -83,13 +86,16 @@ def test_bag_roundtrip_standardized_bz2(stream, tmp_path):
         t += 0.01
         msgs.append(("laser", "sensor_msgs/LaserScan", t,
                      rb.serialize_laser_scan(scans[i], float(angles[0]), inc,
-                                             stamp=t)))
+                                             range_max=13.0, stamp=t)))
         t += 0.04
     path = str(tmp_path / "std.bag")
     rb.write_bag(path, msgs, compression="bz2")
 
     out_scans, out_angles, out_rel, set_loc = rb.bag_to_stream(path)
-    assert set_loc == (3.0, -2.0, pytest.approx(0.5, abs=1e-6))
+    assert len(set_loc) == 1
+    k, loc = set_loc[0]
+    assert k == 0   # arrived before the first laser node
+    assert loc == (3.0, -2.0, pytest.approx(0.5, abs=1e-6))
     np.testing.assert_allclose(out_rel[1:], rel[1:], atol=1e-4)
 
 
@@ -206,7 +212,8 @@ def test_bag_multiple_connections_per_topic(stream, tmp_path):
         parts.append(rb._record(
             {"op": bytes([0x02]), "conn": struct.pack("<I", i % 2),
              "time": rb._time(100.0 + 0.05 * i)},
-            rb.serialize_laser_scan(scans[i], float(angles[0]), inc)))
+            rb.serialize_laser_scan(scans[i], float(angles[0]), inc,
+                                     range_max=13.0)))
     chunk = b"".join(parts)
     path = str(tmp_path / "two_conns.bag")
     with open(path, "wb") as f:
@@ -243,3 +250,37 @@ def test_bag_end_to_end_enml_to_hitl(stream, tmp_path):
     eng.init(data.poses, data.covariances, data.point_clouds,
              data.normal_clouds, constraint_capacity=256)
     assert eng.get_poses().shape == data.poses.shape
+
+
+def test_apply_set_locations_midrun():
+    """A mid-run re-localization resets the integration state AT its stream
+    position (reference LoadSetLocationMessage): poses before the event are
+    untouched, pose[k] equals the given map-frame pose, and subsequent
+    relative motion is preserved."""
+    rng = np.random.default_rng(3)
+    T = 12
+    rel = np.zeros((T, 3), np.float32)
+    rel[1:] = rng.uniform(-0.2, 0.2, (T - 1, 3)).astype(np.float32)
+    rel[0] = [1.0, 2.0, 0.3]   # absolute start (driver convention)
+
+    def integrate(r):
+        p = np.zeros((T, 3))
+        p[0] = r[0]
+        for i in range(1, T):
+            c, s = np.cos(p[i - 1, 2]), np.sin(p[i - 1, 2])
+            p[i] = [p[i - 1, 0] + c * r[i, 0] - s * r[i, 1],
+                    p[i - 1, 1] + s * r[i, 0] + c * r[i, 1],
+                    p[i - 1, 2] + r[i, 2]]
+        return p
+
+    before = integrate(rel)
+    L = (5.0, -1.0, 1.2)
+    out = rb.apply_set_locations(rel, [(6, L)])
+    after = integrate(out)
+    # untouched before the event
+    np.testing.assert_allclose(after[:6], before[:6], atol=1e-5)
+    # pinned at the event
+    np.testing.assert_allclose(after[6], L, atol=1e-5)
+    # relative motion preserved after the event
+    for i in range(7, T):
+        np.testing.assert_allclose(out[i], rel[i], atol=1e-5)
