@@ -225,7 +225,6 @@ def main():
     cpu_cost, cpu_iters = 0.0, 0
     for start_poses, n_active in eng.solve_snapshots:
         sub = {k: v.copy() for k, v in np_table.items()}
-        sub["active"] = sub["active"].copy()
         sub["active"][n_active:] = False
         t0 = time.perf_counter()
         _, cpu_cost, cpu_iters = cpu_lm_solve(start_poses, sub)
@@ -251,17 +250,30 @@ def main():
     # the per-call host<->device round trip ----
     # Extras are budget-gated + exception-guarded: the primary JSON line must
     # print even if a cold remote compile eats the driver's timeout.
-    extras_ok = (time.perf_counter() - t_start) < 20 * 60
+    def extras_ok():
+        # re-evaluated at EVERY section gate: a cold-cache run must stop
+        # starting new multi-minute relay compiles once the budget is
+        # spent, or the driver timeout kills the process before the
+        # primary JSON line prints
+        return (time.perf_counter() - t_start) < 20 * 60
     pipelined_ms = big_solve_ms = replica_ms = -1.0
+    n_replicas = 32
     import jax as _jax
     import jax.numpy as jnp
 
     from hitl_slam_tpu.models.hitl.cycle import cycle_step
 
     try:
-        if not extras_ok:
+        if not extras_ok():
             raise TimeoutError('budget')
         st = eng.state
+        # the chain REPLAYS a queued burst against the INITIAL drifted map:
+        # selections must be sketched on the SAME poses the chain starts
+        # from, or cycle_step's gates reject silently (measured: on the
+        # post-repair state the laps coincide and the ordering stage
+        # rejects interleaved selections; with drifted-map clicks against
+        # repaired poses the 5 cm verify gate rejects at small scales) —
+        # either way the headline would time no-op cycles
         sel_cycle = [jnp.asarray(synthesize_correction(
             m, s["corrected"], s["anchor"], s["cw"], s["aw"],
             corrected_span=s["cspan"], anchor_span=s["aspan"],
@@ -295,26 +307,34 @@ def main():
                 0, NCHAIN, body, (poses, covs, table, n0))
             # scalar checksums computed IN-PROGRAM: fetching them forces all
             # the work without dispatching a separate reduction program
-            # (which would pay its own ~5-10 ms relay dispatch overhead)
-            return poses, covs, jnp.sum(poses) + jnp.sum(covs)
+            # (which would pay its own ~5-10 ms relay dispatch overhead).
+            # n rides along so the harness can ASSERT the chain did real
+            # work (constraints were instantiated, cycles not no-ops)
+            return poses, covs, jnp.sum(poses) + jnp.sum(covs), n
 
         # warmup then timed: state stays on device across all chained cycles;
         # start from a FRESH constraint table (same shape -> same compiled
         # program) so no row ever lands in the dump slot
         from hitl_slam_tpu.core.state import ConstraintTable as _CT
 
-        p0, c0v = st.poses, st.covariances
+        # start from the INITIAL drifted state (matching the selections)
+        p0 = jnp.asarray(m.poses, jnp.float32)
+        c0v = jnp.asarray(m.covariances, jnp.float32)
         t0v = _CT.empty(CAPACITY)
         n0 = jnp.asarray(0, jnp.int32)
-        outp, outc, chk = chained(p0, c0v, t0v, n0)
+        outp, outc, chk, nchain = chained(p0, c0v, t0v, n0)
         _jax.block_until_ready((outp, outc))
+        if int(nchain) <= 0:
+            raise RuntimeError(
+                "pipelined chain instantiated ZERO constraints - cycles "
+                "were rejected; the headline would time no-ops")
         # NOTES.md timing trap: force the work by fetching the in-program
         # checksum; vary the inputs per sample
         pipe_samples = []
         for k in range(3):
             pk = p0 + 1e-6 * (k + 1)
             t0 = time.perf_counter()
-            outp, outc, chk = chained(pk, c0v, t0v, n0)
+            outp, outc, chk, nchain = chained(pk, c0v, t0v, n0)
             _ = float(chk)
             pipe_samples.append((time.perf_counter() - t0) * 1e3 / NCHAIN)
         pipelined_ms = min(pipe_samples)
@@ -323,7 +343,7 @@ def main():
         import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
 
     try:
-        if not extras_ok:
+        if not extras_ok():
             raise TimeoutError('budget')
         # ---- secondary configs ----
         import jax
@@ -340,7 +360,7 @@ def main():
         chain[:, 2] = heads
         chain[1:, 0] = np.cumsum(0.4 * np.cos(heads[:-1]))
         chain[1:, 1] = np.cumsum(0.4 * np.sin(heads[:-1]))
-        big_tbl = jax.tree_util.tree_map(lambda x: x, tbl)  # reuse constraint table
+        # reuse the session's constraint table, remapped to the big pose ids
         big_tbl = type(tbl)(
             ctype=tbl.ctype, constrained=tbl.constrained % big_P,
             anchor=tbl.anchor % big_P, delta_parallel=tbl.delta_parallel,
@@ -364,9 +384,9 @@ def main():
         # (b) BASELINE config #5: 32 perturbed replicas via vmap
         from hitl_slam_tpu.parallel.replicas import batched_solve, make_perturbed_replicas
 
+        n_replicas = 4 if smoke else 32
         reps, btable = make_perturbed_replicas(
-            np.asarray(eng.state.poses), tbl,
-            num_replicas=4 if smoke else 32)
+            np.asarray(eng.state.poses), tbl, num_replicas=n_replicas)
         rb = batched_solve(reps, btable, cfg20)  # warmup/compile
         jax.block_until_ready(rb.poses)
         t0 = time.perf_counter()
@@ -385,7 +405,7 @@ def main():
     enml_ms = enml_nodes = -1
     enml_checker_ms = enml_rtf = enml_checker_rtf = -1.0
     try:
-        if not extras_ok:
+        if not extras_ok():
             raise TimeoutError('budget')
         from hitl_slam_tpu.core.state import make_map_state
         from hitl_slam_tpu.io.figure8 import generate_raw_stream
@@ -631,7 +651,7 @@ def main():
     post_opt_match_ms = post_opt_lm_ms = post_opt_lm_iters = -1
     cpu_refine_ms = cpu_ref_cost = cpu_ref_iters = -1
     try:
-        if not extras_ok:
+        if not extras_ok():
             raise TimeoutError('budget')
         from hitl_slam_tpu.models.hitl.refine import post_human_refine
         from hitl_slam_tpu.solver.lm import LMConfig as _LMC
@@ -708,10 +728,16 @@ def main():
     # detail.interactive_cycle_ms / vs_baseline_interactive.
     # CPU baselines are solve-only, conservative in our disfavor.
     device_cycle_ms = pipelined_ms if pipelined_ms > 0 else tpu_ms
+    # honest labeling: if the pipelined section failed, the value is the
+    # per-correction interactive wall-clock (incl. relay dispatch overhead),
+    # and the metric string must say so
+    headline_kind = ("device-resident pipelined" if pipelined_ms > 0
+                     else "interactive per-dispatch (pipelined section "
+                          "FAILED; includes relay overhead)")
     result = {
         "metric": (
             f"ms per full HitL repair cycle (EM+explicit+backprop+LM solve), "
-            f"device-resident pipelined, Figure8-scale {num_poses} poses / "
+            f"{headline_kind}, Figure8-scale {num_poses} poses / "
             f"{total_pts} points, mixed corrections"
         ),
         "value": round(device_cycle_ms, 3),
@@ -777,7 +803,8 @@ def main():
             "solve_8192_poses_20iter_ms": round(big_solve_ms, 2),
             "replica32_batch_20iter_ms": round(replica_ms, 2),
             "replica32_throughput_solves_per_s": round(
-                32.0 / (replica_ms / 1e3), 1),
+                n_replicas / (replica_ms / 1e3), 1)
+            if replica_ms > 0 else -1,
             "cpu_generic_solve_ms": round(scipy_ms, 1),
             "cpu_generic_final_cost": scipy_cost,
             "cpu_optimized_solve_ms_per_cycle": [

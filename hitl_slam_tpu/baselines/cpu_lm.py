@@ -89,10 +89,16 @@ def build_human_factors_np(poses, table):
     pd = ath + table["pen"][act]
     n = len(ct)
     M = np.zeros((n, 3, 3))
-    coloc = ct == 2
+    # mirror ops/residuals.py build_human_factors exactly: CORNER (3)
+    # constrains the full pose like colocation (2); POINT (1) constrains
+    # position only
+    coloc = (ct == 2) | (ct == 3)
+    point = ct == 1
     colin = ct == 4
     ang = (ct == 5) | (ct == 6)
     M[coloc] = np.eye(3)
+    M[point, 0, 0] = 1.0
+    M[point, 1, 1] = 1.0
     M[colin, 0, 0] = np.cos(pd[colin])
     M[colin, 0, 1] = np.sin(pd[colin])
     M[colin, 1, 2] = 1.0
@@ -146,8 +152,11 @@ def cpu_lm_solve(
         g = np.zeros((P, 3))
         J1T = np.swapaxes(J1, -1, -2)
         J2T = np.swapaxes(J2, -1, -2)
-        np.add.at(D, np.arange(P - 1), J1T @ J1)
-        np.add.at(D, np.arange(1, P), J2T @ J2)
+        # unique contiguous indices: plain slice adds, ~10x faster than the
+        # unbuffered np.add.at (this is the measured CPU-baseline
+        # denominator — it must be honestly fast)
+        D[: P - 1] += J1T @ J1
+        D[1:] += J2T @ J2
         U[:] = J1T @ J2
         g[: P - 1] += np.einsum("fij,fj->fi", J1T, r_o)
         g[1:] += np.einsum("fij,fj->fi", J2T, r_o)
