@@ -40,6 +40,12 @@ def test_sdf_zero_on_walls(clean_map):
     mid_row = int((2.0 + 1.0) / 0.1)
     free_vals = v[mid_row, 100:300][w[mid_row, 100:300] > 0.5]
     assert np.median(free_vals) > 0.05
+    # NEVER-OBSERVED pixels read min_sdf_value ('behind surface'), not 0
+    # ('at surface') — review r3: the init value was destroyed by the
+    # first zero-weight accumulator update
+    unobs = v[w == 0]
+    assert len(unobs) > 0
+    np.testing.assert_allclose(unobs, params.min_sdf_value, atol=1e-6)
     # dynamic mask keeps some and rejects some
     dm = np.asarray(dynamic_mask(sdf, params))
     assert 0 < dm.sum() < dm.size
