@@ -485,7 +485,7 @@ class PairMatchInfo:
 
 @partial(jax.jit, static_argnames=("max_pairs", "capacity", "pair_chunk",
                                    "bucket", "max_cells",
-                                   "min_pair_matches"))
+                                   "min_pair_matches", "elect_impl"))
 def pair_match_factors(
     points: Array,       # [P, N, 2] robot frame
     normals: Array,      # [P, N, 2]
@@ -501,6 +501,7 @@ def pair_match_factors(
     pair_chunk: int = 512,
     bucket: int = 64,
     max_cells: int | None = None,
+    elect_impl: str = "top_k",
 ) -> tuple[STFFactors, PairMatchInfo]:
     """Reference-faithful PER-PAIR STF correspondences.
 
@@ -557,7 +558,16 @@ def pair_match_factors(
     votes = jnp.where(is_last, pos - run_start + 1, -1)
     # top_k requires k <= M; tiny maps (P*N < max_pairs) elect every row
     k = min(max_pairs, M)
-    topv, topi = jax.lax.top_k(votes, k)
+    if elect_impl == "argsort":
+        # Full stable descending sort + slice. Same election as top_k
+        # (both break vote ties by lowest index); kept as a measured
+        # alternative in case the variadic top_k reduce lowers badly on
+        # TPU at M~300k (cf. the argmin pathology in NOTES).
+        order = jnp.argsort(-votes)[:k].astype(jnp.int32)
+        topi = order
+        topv = votes[order]
+    else:
+        topv, topi = jax.lax.top_k(votes, k)
     if k < max_pairs:
         topv = jnp.pad(topv, (0, max_pairs - k), constant_values=-1)
         topi = jnp.pad(topi, (0, max_pairs - k))

@@ -477,6 +477,33 @@ def test_pair_match_factors_edge_cases(rng):
     assert int(info2.pairs_overflow) == 0
 
 
+def test_pair_match_elect_impls_agree(rng):
+    """The argsort election (kept as a TPU alternative to lax.top_k)
+    selects the identical pair set — both break vote ties by lowest
+    index (argsort is stable), so the emitted factor tables are
+    bit-equal, including under election overflow."""
+    P, N = 6, 24
+    pts = rng.uniform(0, 2.0, (P, N, 2)).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, (P, N))
+    nrm = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+    mask = rng.uniform(size=(P, N)) > 0.15
+    poses = rng.uniform(-0.05, 0.05, (P, 3)).astype(np.float32)
+    for max_pairs in (4, 32):   # overflow + headroom
+        outs = [C.pair_match_factors(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(mask),
+            jnp.asarray(poses), max_pairs=max_pairs, capacity=512,
+            pair_chunk=8, min_pair_matches=2, threshold=0.5,
+            elect_impl=impl) for impl in ("top_k", "argsort")]
+        (fa, ia), (fb, ib) = outs
+        assert int(ia.n_pairs) == int(ib.n_pairs)
+        assert int(ia.n_matches) == int(ib.n_matches)
+        assert int(ia.pairs_overflow) == int(ib.pairs_overflow)
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(fa),
+                                  jax.tree_util.tree_leaves(fb)):
+            np.testing.assert_array_equal(np.asarray(leaf_a),
+                                          np.asarray(leaf_b))
+
+
 def test_cpu_refine_baseline_matches_tpu_path(rng):
     """baselines/cpu_refine (f64 LAPACK dense LM, the optimized-CPU bound
     for the net-new refine stage) converges to the same solution as the
