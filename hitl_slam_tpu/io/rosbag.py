@@ -112,74 +112,159 @@ class BagMessage:
     raw: bytes        # serialized message body
 
 
-def read_messages(path: str):
-    """Yield BagMessage for every message record, in chunk order."""
+def _op_of(header) -> int:
+    op = header.get("op", b"")
+    return op[0] if op else -1
+
+
+def _handle_connection(header, data, conns) -> None:
+    # real bags repeat connection records inside every chunk AND in
+    # the trailing index section, and carry multiple connections per
+    # topic (latched/unlatched, remapped original names) — conn ids
+    # are authoritative, topics are display only
+    if "conn" not in header or len(header["conn"]) < 4:
+        warnings.warn("connection record without conn id; skipped")
+        return
+    cid = struct.unpack("<I", header["conn"][:4])[0]
+    topic = header.get("topic", b"").decode(errors="replace")
+    sub = _parse_header(data)
+    msgtype = sub.get("type", b"").decode(errors="replace")
+    # the connection data's own 'topic' (original name) wins if set
+    conns[cid] = (topic or sub.get("topic", b"").decode(
+        errors="replace"), msgtype)
+
+
+def _handle_record(header, data, conns):
+    op = _op_of(header)
+    if op == _OP_CONNECTION:
+        _handle_connection(header, data, conns)
+        return None
+    if op == _OP_MESSAGE_DATA:
+        if ("conn" not in header or len(header["conn"]) < 4
+                or "time" not in header or len(header["time"]) < 8):
+            warnings.warn("malformed message record skipped")
+            return None
+        cid = struct.unpack("<I", header["conn"][:4])[0]
+        secs, nsecs = struct.unpack("<II", header["time"][:8])
+        topic, msgtype = conns.get(cid, ("?", "?"))
+        return BagMessage(topic, msgtype, secs + 1e-9 * nsecs, data)
+    # INDEX_DATA / CHUNK_INFO / BAG_HEADER and unknown future ops are
+    # framing/metadata — skipped (this reader scans chunks directly)
+    return None
+
+
+def _chunk_payload(header, data):
+    """Decompress a chunk record's data. None = corrupt bz2 (skipped with a
+    warning); raises on unsupported compression."""
+    comp = header.get("compression", b"none").decode(errors="replace")
+    if comp == "none":
+        return data
+    if comp == "bz2":
+        try:
+            return bz2.decompress(data)
+        except OSError as e:
+            warnings.warn(f"corrupt bz2 chunk skipped ({e})")
+            return None
+    raise ValueError(
+        f"unsupported chunk compression {comp!r} "
+        "(only none/bz2; re-record or decompress the bag)")
+
+
+def read_messages(path: str, use_native: bool = True):
+    """Yield BagMessage for every message record, in chunk order.
+
+    use_native=True routes record framing + hot-field extraction through
+    the C++ scanner (native/bag_scanner.cpp) when buildable, falling back
+    to the pure-Python path; both are behaviorally identical
+    (test_rosbag.py equivalence suite)."""
     with open(path, "rb") as f:
         blob = f.read()
     if not blob.startswith(VERSION_LINE):
         raise ValueError(
             f"not a ROS bag v2.0 file: {path!r} (bad version line)")
+    if use_native:
+        from .. import native
+        if native.bag_available():
+            yield from _read_messages_native(blob, native.scan_bag_records)
+            return
+    yield from _read_messages_python(blob)
+
+
+def _read_messages_python(blob: bytes):
     conns: dict[int, tuple[str, str]] = {}
-
-    def op_of(header) -> int:
-        op = header.get("op", b"")
-        return op[0] if op else -1
-
-    def handle(header, data):
-        op = op_of(header)
-        if op == _OP_CONNECTION:
-            # real bags repeat connection records inside every chunk AND in
-            # the trailing index section, and carry multiple connections per
-            # topic (latched/unlatched, remapped original names) — conn ids
-            # are authoritative, topics are display only
-            if "conn" not in header or len(header["conn"]) < 4:
-                warnings.warn("connection record without conn id; skipped")
-                return None
-            cid = struct.unpack("<I", header["conn"][:4])[0]
-            topic = header.get("topic", b"").decode(errors="replace")
-            sub = _parse_header(data)
-            msgtype = sub.get("type", b"").decode(errors="replace")
-            # the connection data's own 'topic' (original name) wins if set
-            conns[cid] = (topic or sub.get("topic", b"").decode(
-                errors="replace"), msgtype)
-            return None
-        if op == _OP_MESSAGE_DATA:
-            if ("conn" not in header or len(header["conn"]) < 4
-                    or "time" not in header or len(header["time"]) < 8):
-                warnings.warn("malformed message record skipped")
-                return None
-            cid = struct.unpack("<I", header["conn"][:4])[0]
-            secs, nsecs = struct.unpack("<II", header["time"][:8])
-            topic, msgtype = conns.get(cid, ("?", "?"))
-            return BagMessage(topic, msgtype, secs + 1e-9 * nsecs, data)
-        # INDEX_DATA / CHUNK_INFO / BAG_HEADER and unknown future ops are
-        # framing/metadata — skipped (this reader scans chunks directly)
-        return None
-
     for header, data in _iter_records(blob, len(VERSION_LINE)):
-        op = op_of(header)
-        if op == _OP_CHUNK:
-            comp = header.get("compression", b"none").decode(errors="replace")
-            if comp == "none":
-                payload = data
-            elif comp == "bz2":
-                try:
-                    payload = bz2.decompress(data)
-                except OSError as e:
-                    warnings.warn(f"corrupt bz2 chunk skipped ({e})")
-                    continue
-            else:
-                raise ValueError(
-                    f"unsupported chunk compression {comp!r} "
-                    "(only none/bz2; re-record or decompress the bag)")
+        if _op_of(header) == _OP_CHUNK:
+            payload = _chunk_payload(header, data)
+            if payload is None:
+                continue
             for h2, d2 in _iter_records(payload, where="chunk"):
-                msg = handle(h2, d2)
+                msg = _handle_record(h2, d2, conns)
                 if msg is not None:
                     yield msg
         else:
-            msg = handle(header, data)
+            msg = _handle_record(header, data, conns)
             if msg is not None:
                 yield msg
+
+
+def _stop_warn(stop, where: str, n: int) -> None:
+    """Reproduce _iter_records' warnings from the native scanner's stop
+    info (same text, same trigger conditions)."""
+    status, rec_start, consumed = stop
+    if status == 2:
+        warnings.warn(f"truncated record header in {where} "
+                      f"(offset {rec_start}/{n}); stopping")
+    elif status == 3:
+        warnings.warn(f"truncated record data in {where} "
+                      f"(offset {consumed - 4}/{n}); stopping")
+    elif status == 1:
+        warnings.warn(f"{n - consumed} trailing bytes in {where} ignored")
+
+
+def _read_messages_native(blob: bytes, scan):
+    """Native-framed message stream: the C++ scanner returns per-record
+    (op, conn, time, offsets) columns; rare records (connections, chunks)
+    reuse the exact Python header logic, message records use the
+    pre-extracted hot fields directly."""
+    conns: dict[int, tuple[str, str]] = {}
+
+    def stream(buf, off: int, where: str):
+        cols = scan(buf, off=off)
+        n = len(buf)
+        # plain Python lists: ~5x faster to index per record than np scalars
+        ops = cols["op"].tolist()
+        conn_ids = cols["conn"].tolist()
+        times = cols["time"].tolist()
+        hoff = cols["header_off"].tolist()
+        hlen = cols["header_len"].tolist()
+        doff = cols["data_off"].tolist()
+        dlen = cols["data_len"].tolist()
+        get = conns.get
+        for i in range(len(ops)):
+            op = ops[i]
+            if op == _OP_MESSAGE_DATA:
+                cid, t = conn_ids[i], times[i]
+                if cid < 0 or t != t:    # NaN marks a missing/short field
+                    warnings.warn("malformed message record skipped")
+                    continue
+                topic, msgtype = get(cid, ("?", "?"))
+                yield BagMessage(topic, msgtype, t,
+                                 buf[doff[i]:doff[i] + dlen[i]])
+            elif op == _OP_CONNECTION:
+                header = _parse_header(buf[hoff[i]:hoff[i] + hlen[i]])
+                _handle_connection(
+                    header, buf[doff[i]:doff[i] + dlen[i]], conns)
+            elif op == _OP_CHUNK and where == "bag":
+                # nested chunk records (malformed) are skipped inside
+                # chunks, matching the Python path's handle() fall-through
+                header = _parse_header(buf[hoff[i]:hoff[i] + hlen[i]])
+                payload = _chunk_payload(
+                    header, buf[doff[i]:doff[i] + dlen[i]])
+                if payload is not None:
+                    yield from stream(payload, 0, "chunk")
+        _stop_warn(cols["stop"], where, n)
+
+    yield from stream(blob, len(VERSION_LINE), "bag")
 
 
 # ---------------------------------------------------------------------------

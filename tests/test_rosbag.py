@@ -252,6 +252,157 @@ def test_bag_end_to_end_enml_to_hitl(stream, tmp_path):
     assert eng.get_poses().shape == data.poses.shape
 
 
+def _messages_and_warnings(path, use_native):
+    import warnings as w
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        msgs = list(rb.read_messages(path, use_native=use_native))
+    return msgs, sorted(str(r.message) for r in rec)
+
+
+def _assert_native_python_equal(path):
+    """Native C++ scanner and pure-Python framing must yield bit-identical
+    message streams AND identical warning text on the same bag."""
+    from hitl_slam_tpu import native
+
+    if not native.bag_available():
+        pytest.skip("native bag scanner unavailable")
+    nat, nat_warn = _messages_and_warnings(path, True)
+    py, py_warn = _messages_and_warnings(path, False)
+    assert len(nat) == len(py)
+    for a, b in zip(nat, py):
+        assert (a.topic, a.msgtype, a.raw) == (b.topic, b.msgtype, b.raw)
+        assert a.time == b.time
+    assert nat_warn == py_warn
+
+
+def test_native_scanner_equivalence_clean(stream, tmp_path):
+    scans, angles, rel, gt, walls = stream
+    path = str(tmp_path / "clean.bag")
+    rb.write_bag(path, _cobot_bag_messages(scans, angles, rel))
+    _assert_native_python_equal(path)
+
+
+def test_native_scanner_equivalence_mixed_index(stream, tmp_path):
+    scans, angles, rel, gt, walls = stream
+    path = str(tmp_path / "multi.bag")
+    rb.write_bag(path, _cobot_bag_messages(scans, angles, rel),
+                 compression="mixed", chunk_size=8192)
+    _assert_native_python_equal(path)
+
+
+def test_native_scanner_equivalence_truncated(stream, tmp_path):
+    scans, angles, rel, gt, walls = stream
+    path = str(tmp_path / "full.bag")
+    rb.write_bag(path, _cobot_bag_messages(scans, angles, rel),
+                 chunk_size=8192)
+    blob = open(path, "rb").read()
+    for frac, name in ((0.6, "cut_data.bag"), (0.997, "cut_hdr.bag")):
+        cut = str(tmp_path / name)
+        open(cut, "wb").write(blob[: int(len(blob) * frac)])
+        _assert_native_python_equal(cut)
+    # 1-3 trailing bytes (status 1)
+    tail = str(tmp_path / "tail.bag")
+    open(tail, "wb").write(blob + b"\x01\x02")
+    _assert_native_python_equal(tail)
+
+
+def test_native_scanner_equivalence_malformed(stream, tmp_path):
+    """Corrupt bz2 chunk, conn-less message, id-less connection, unknown
+    future op, duplicate header keys, field without '=', field length
+    overrunning the header — the _parse_header quirk set."""
+    import struct
+
+    scans, angles, rel, gt, walls = stream
+    path = str(tmp_path / "dirty.bag")
+    rb.write_bag(path, _cobot_bag_messages(scans, angles, rel))
+    blob = open(path, "rb").read()
+    # duplicate-key record (last op wins: 0x02 then 0x7F -> unknown, skipped)
+    dup_hdr = (rb._field("op", bytes([0x02]))
+               + rb._field("conn", struct.pack("<I", 0))
+               + rb._field("time", rb._time(1.0))
+               + rb._field("op", bytes([0x7F])))
+    dup_rec = (struct.pack("<I", len(dup_hdr)) + dup_hdr
+               + struct.pack("<I", 3) + b"xyz")
+    # field without '=' (ignored) preceding a real op field
+    noeq_payload = b"\x04\x00\x00\x00neq!" + rb._field("op", bytes([0x7F]))
+    noeq_rec = (struct.pack("<I", len(noeq_payload)) + noeq_payload
+                + struct.pack("<I", 1) + b"z")
+    # header whose last field length overruns the header end (clamped)
+    overrun = rb._field("op", bytes([0x7F])) + b"\xff\x00\x00\x00ov=1"
+    overrun_rec = (struct.pack("<I", len(overrun)) + overrun
+                   + struct.pack("<I", 1) + b"q")
+    # short conn (2 bytes) and short time (4 bytes) on a message record
+    short_hdr = (rb._field("op", bytes([0x02])) + rb._field("conn", b"\x01\x00")
+                 + rb._field("time", b"\x01\x00\x00\x00"))
+    short_rec = (struct.pack("<I", len(short_hdr)) + short_hdr
+                 + struct.pack("<I", 2) + b"ab")
+    extra = (
+        rb._record({"op": bytes([0x05]), "compression": b"bz2",
+                    "size": b"\x10\x00\x00\x00"}, b"NOT-BZ2-DATA")
+        + rb._record({"op": bytes([0x02])}, b"orphan")
+        + rb._record({"op": bytes([0x07]), "topic": b"ghost"}, b"")
+        + rb._record({"op": bytes([0x7F]), "future": b"record"}, b"xyz")
+        + dup_rec + noeq_rec + overrun_rec + short_rec
+    )
+    open(path, "wb").write(blob + extra)
+    _assert_native_python_equal(path)
+
+
+def test_native_scanner_equivalence_two_conns(stream, tmp_path):
+    import struct
+
+    scans, angles, rel, gt, walls = stream
+    inc = float(angles[1] - angles[0])
+    conn_data = (rb._field("topic", b"laser")
+                 + rb._field("type", b"sensor_msgs/LaserScan")
+                 + rb._field("md5sum", b"0" * 32)
+                 + rb._field("message_definition", b""))
+    parts = []
+    for cid in (0, 1):
+        parts.append(rb._record(
+            {"op": bytes([0x07]), "conn": struct.pack("<I", cid),
+             "topic": b"laser"}, conn_data))
+    for i in range(8):
+        parts.append(rb._record(
+            {"op": bytes([0x02]), "conn": struct.pack("<I", i % 2),
+             "time": rb._time(100.0 + 0.05 * i)},
+            rb.serialize_laser_scan(scans[i], float(angles[0]), inc,
+                                     range_max=13.0)))
+    chunk = b"".join(parts)
+    path = str(tmp_path / "two_conns.bag")
+    with open(path, "wb") as f:
+        f.write(rb.VERSION_LINE)
+        f.write(rb._record({"op": bytes([0x05]), "compression": b"none",
+                            "size": struct.pack("<I", len(chunk))}, chunk))
+    _assert_native_python_equal(path)
+
+
+def test_native_scanner_speedup(stream, tmp_path):
+    """The native scanner exists for throughput: on a many-record bag it
+    must beat the Python framing (sanity bound, not a benchmark)."""
+    import time as _t
+
+    from hitl_slam_tpu import native
+
+    if not native.bag_available():
+        pytest.skip("native bag scanner unavailable")
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel) * 40   # ~5600 records
+    path = str(tmp_path / "big.bag")
+    rb.write_bag(path, msgs, chunk_size=1 << 20)
+    t0 = _t.perf_counter()
+    n_nat = sum(1 for _ in rb.read_messages(path, use_native=True))
+    t_nat = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    n_py = sum(1 for _ in rb.read_messages(path, use_native=False))
+    t_py = _t.perf_counter() - t0
+    assert n_nat == n_py == len(msgs)
+    # allow noise; typical measured ratio is >>2x
+    assert t_nat < t_py
+
+
 def test_apply_set_locations_midrun():
     """A mid-run re-localization resets the integration state AT its stream
     position (reference LoadSetLocationMessage): poses before the event are
