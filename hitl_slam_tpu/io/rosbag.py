@@ -5,8 +5,8 @@ rosbag -> LoadLaserMessage / LoadOdometryMessage / LoadSetLocationMessage ->
 AddPose (vector_mapping_main.cpp:1072-1320, LoadRosBag :1320). The bag format
 is self-describing (http://wiki.ros.org/Bags/Format/2.0): a version line then
 length-prefixed records, each a header (length-prefixed name=value fields)
-plus a data blob. Messages live inside chunk records (compression none/bz2
-supported here; lz4 raises a clear error).
+plus a data blob. Messages live inside chunk records (compression none, bz2,
+and lz4 — the roslz4 LZ4-frame format, io/lz4frame.py — all supported).
 
 Supported message types (hand-rolled little-endian deserializers, layouts
 from the .msg definitions in /root/reference/vector_slam_msgs/msg and the
@@ -154,8 +154,8 @@ def _handle_record(header, data, conns):
 
 
 def _chunk_payload(header, data):
-    """Decompress a chunk record's data. None = corrupt bz2 (skipped with a
-    warning); raises on unsupported compression."""
+    """Decompress a chunk record's data. None = corrupt chunk (skipped with
+    a warning); raises on unsupported compression."""
     comp = header.get("compression", b"none").decode(errors="replace")
     if comp == "none":
         return data
@@ -165,46 +165,90 @@ def _chunk_payload(header, data):
         except OSError as e:
             warnings.warn(f"corrupt bz2 chunk skipped ({e})")
             return None
+    if comp == "lz4":
+        from . import lz4frame
+
+        if not lz4frame.available():
+            raise ValueError(
+                "lz4-compressed bag but liblz4.so.1 is not available; "
+                "re-record or decompress the bag")
+        try:
+            return lz4frame.decompress(data)
+        except ValueError as e:
+            warnings.warn(f"corrupt lz4 chunk skipped ({e})")
+            return None
     raise ValueError(
         f"unsupported chunk compression {comp!r} "
-        "(only none/bz2; re-record or decompress the bag)")
+        "(only none/bz2/lz4; re-record or decompress the bag)")
+
+
+def _iter_records_file(f, off: int, n: int):
+    """Top-level record iteration directly from a file handle — the
+    STREAMING analog of _iter_records: only one record (at most one chunk,
+    the rosbag unit of buffering, 768 KB by default) is resident at a time,
+    so multi-GB bags read in constant memory. Offsets are absolute file
+    offsets and n is the file size, producing warning text identical to the
+    in-memory path on the same byte stream."""
+    while off + 4 <= n:
+        (hlen,) = struct.unpack("<I", f.read(4))
+        off += 4
+        if off + hlen + 4 > n:
+            warnings.warn(f"truncated record header in bag "
+                          f"(offset {off - 4}/{n}); stopping")
+            return
+        header = _parse_header(f.read(hlen))
+        off += hlen
+        (dlen,) = struct.unpack("<I", f.read(4))
+        off += 4
+        if off + dlen > n:
+            warnings.warn(f"truncated record data in bag "
+                          f"(offset {off - 4}/{n}); stopping")
+            return
+        data = f.read(dlen)
+        off += dlen
+        yield header, data
+    if off != n and n - off >= 1:
+        warnings.warn(f"{n - off} trailing bytes in bag ignored")
 
 
 def read_messages(path: str, use_native: bool = True):
     """Yield BagMessage for every message record, in chunk order.
 
-    use_native=True routes record framing + hot-field extraction through
-    the C++ scanner (native/bag_scanner.cpp) when buildable, falling back
-    to the pure-Python path; both are behaviorally identical
+    Streams the bag chunk-at-a-time (constant memory in the file size; the
+    reference's roscpp reader is likewise chunk-buffered). use_native=True
+    routes per-record framing + hot-field extraction inside each chunk
+    through the C++ scanner (native/bag_scanner.cpp) when buildable,
+    falling back to the pure-Python path; both are behaviorally identical
     (test_rosbag.py equivalence suite)."""
     with open(path, "rb") as f:
-        blob = f.read()
-    if not blob.startswith(VERSION_LINE):
-        raise ValueError(
-            f"not a ROS bag v2.0 file: {path!r} (bad version line)")
-    if use_native:
-        from .. import native
-        if native.bag_available():
-            yield from _read_messages_native(blob, native.scan_bag_records)
-            return
-    yield from _read_messages_python(blob)
-
-
-def _read_messages_python(blob: bytes):
-    conns: dict[int, tuple[str, str]] = {}
-    for header, data in _iter_records(blob, len(VERSION_LINE)):
-        if _op_of(header) == _OP_CHUNK:
-            payload = _chunk_payload(header, data)
-            if payload is None:
-                continue
-            for h2, d2 in _iter_records(payload, where="chunk"):
-                msg = _handle_record(h2, d2, conns)
+        f.seek(0, 2)
+        n = f.tell()
+        f.seek(0)
+        if f.read(len(VERSION_LINE)) != VERSION_LINE:
+            raise ValueError(
+                f"not a ROS bag v2.0 file: {path!r} (bad version line)")
+        scan = None
+        if use_native:
+            from .. import native
+            if native.bag_available():
+                scan = native.scan_bag_records
+        conns: dict[int, tuple[str, str]] = {}
+        for header, data in _iter_records_file(f, len(VERSION_LINE), n):
+            if _op_of(header) == _OP_CHUNK:
+                payload = _chunk_payload(header, data)
+                if payload is None:
+                    continue
+                if scan is not None:
+                    yield from _chunk_messages_native(payload, conns, scan)
+                else:
+                    for h2, d2 in _iter_records(payload, where="chunk"):
+                        msg = _handle_record(h2, d2, conns)
+                        if msg is not None:
+                            yield msg
+            else:
+                msg = _handle_record(header, data, conns)
                 if msg is not None:
                     yield msg
-        else:
-            msg = _handle_record(header, data, conns)
-            if msg is not None:
-                yield msg
 
 
 def _stop_warn(stop, where: str, n: int) -> None:
@@ -221,50 +265,38 @@ def _stop_warn(stop, where: str, n: int) -> None:
         warnings.warn(f"{n - consumed} trailing bytes in {where} ignored")
 
 
-def _read_messages_native(blob: bytes, scan):
-    """Native-framed message stream: the C++ scanner returns per-record
-    (op, conn, time, offsets) columns; rare records (connections, chunks)
-    reuse the exact Python header logic, message records use the
-    pre-extracted hot fields directly."""
-    conns: dict[int, tuple[str, str]] = {}
-
-    def stream(buf, off: int, where: str):
-        cols = scan(buf, off=off)
-        n = len(buf)
-        # plain Python lists: ~5x faster to index per record than np scalars
-        ops = cols["op"].tolist()
-        conn_ids = cols["conn"].tolist()
-        times = cols["time"].tolist()
-        hoff = cols["header_off"].tolist()
-        hlen = cols["header_len"].tolist()
-        doff = cols["data_off"].tolist()
-        dlen = cols["data_len"].tolist()
-        get = conns.get
-        for i in range(len(ops)):
-            op = ops[i]
-            if op == _OP_MESSAGE_DATA:
-                cid, t = conn_ids[i], times[i]
-                if cid < 0 or t != t:    # NaN marks a missing/short field
-                    warnings.warn("malformed message record skipped")
-                    continue
-                topic, msgtype = get(cid, ("?", "?"))
-                yield BagMessage(topic, msgtype, t,
-                                 buf[doff[i]:doff[i] + dlen[i]])
-            elif op == _OP_CONNECTION:
-                header = _parse_header(buf[hoff[i]:hoff[i] + hlen[i]])
-                _handle_connection(
-                    header, buf[doff[i]:doff[i] + dlen[i]], conns)
-            elif op == _OP_CHUNK and where == "bag":
-                # nested chunk records (malformed) are skipped inside
-                # chunks, matching the Python path's handle() fall-through
-                header = _parse_header(buf[hoff[i]:hoff[i] + hlen[i]])
-                payload = _chunk_payload(
-                    header, buf[doff[i]:doff[i] + dlen[i]])
-                if payload is not None:
-                    yield from stream(payload, 0, "chunk")
-        _stop_warn(cols["stop"], where, n)
-
-    yield from stream(blob, len(VERSION_LINE), "bag")
+def _chunk_messages_native(payload: bytes, conns, scan):
+    """Native-framed message stream for ONE decompressed chunk payload: the
+    C++ scanner returns per-record (op, conn, time, offsets) columns; rare
+    records (connections) reuse the exact Python header logic, message
+    records use the pre-extracted hot fields directly. Nested chunk records
+    (malformed) are skipped, matching _handle_record's fall-through."""
+    cols = scan(payload, off=0)
+    n = len(payload)
+    # plain Python lists: ~5x faster to index per record than np scalars
+    ops = cols["op"].tolist()
+    conn_ids = cols["conn"].tolist()
+    times = cols["time"].tolist()
+    hoff = cols["header_off"].tolist()
+    hlen = cols["header_len"].tolist()
+    doff = cols["data_off"].tolist()
+    dlen = cols["data_len"].tolist()
+    get = conns.get
+    for i in range(len(ops)):
+        op = ops[i]
+        if op == _OP_MESSAGE_DATA:
+            cid, t = conn_ids[i], times[i]
+            if cid < 0 or t != t:    # NaN marks a missing/short field
+                warnings.warn("malformed message record skipped")
+                continue
+            topic, msgtype = get(cid, ("?", "?"))
+            yield BagMessage(topic, msgtype, t,
+                             payload[doff[i]:doff[i] + dlen[i]])
+        elif op == _OP_CONNECTION:
+            header = _parse_header(payload[hoff[i]:hoff[i] + hlen[i]])
+            _handle_connection(
+                header, payload[doff[i]:doff[i] + dlen[i]], conns)
+    _stop_warn(cols["stop"], "chunk", n)
 
 
 # ---------------------------------------------------------------------------
@@ -559,8 +591,9 @@ def write_bag(path: str, messages, compression: str = "none",
     pointed to by the bag header's index_pos — the structures real bags
     carry and adversarial tests exercise.
 
-    compression: "none", "bz2", or "mixed" (alternating per chunk, an
-    out-of-spec-tool quirk seen in the wild). chunk_size: approximate
+    compression: "none", "bz2", "lz4" (roslz4 LZ4-frame), or "mixed"
+    (cycling all three per chunk, an out-of-spec-tool quirk seen in the
+    wild). chunk_size: approximate
     uncompressed bytes per chunk (None = single chunk)."""
     msg_list = list(messages)
     topics: dict[str, int] = {}
@@ -577,7 +610,7 @@ def write_bag(path: str, messages, compression: str = "none",
                 {"op": bytes([_OP_CONNECTION]),
                  "conn": struct.pack("<I", cid),
                  "topic": topic.encode()}, conn_data))
-    if compression not in ("none", "bz2", "mixed"):
+    if compression not in ("none", "bz2", "lz4", "mixed"):
         raise ValueError(f"unsupported compression {compression!r}")
 
     # split messages into chunks of ~chunk_size serialized bytes
@@ -604,7 +637,7 @@ def write_bag(path: str, messages, compression: str = "none",
 
         for k, cmsgs in enumerate(chunks):
             comp = (compression if compression != "mixed"
-                    else ("bz2" if k % 2 else "none"))
+                    else ("none", "bz2", "lz4")[k % 3])
             # real rosbag repeats the connection records in every chunk
             parts = list(conn_records)
             offset = sum(map(len, parts))   # running byte cursor (O(M))
@@ -620,7 +653,14 @@ def write_bag(path: str, messages, compression: str = "none",
                 offset += len(rec)
             payload = b"".join(parts)
             size = len(payload)
-            blob = bz2.compress(payload) if comp == "bz2" else payload
+            if comp == "bz2":
+                blob = bz2.compress(payload)
+            elif comp == "lz4":
+                from . import lz4frame
+
+                blob = lz4frame.compress(payload)
+            else:
+                blob = payload
             chunk_pos = f.tell()
             f.write(_record(
                 {"op": bytes([_OP_CHUNK]), "compression": comp.encode(),

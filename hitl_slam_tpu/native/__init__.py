@@ -82,8 +82,21 @@ def _load_bag():
             ctypes.POINTER(ctypes.c_int32), i64p,
             ctypes.POINTER(ctypes.c_double), i64p, i64p, i64p, i64p, i64p,
         ]
+        if hasattr(lib, "bag_xxh32"):   # absent in a stale pre-lz4 build
+            lib.bag_xxh32.restype = ctypes.c_uint32
+            lib.bag_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_uint32]
         lib._configured = True
     return lib
+
+
+def xxh32(data: bytes, seed: int = 0):
+    """xxHash32 via the native kernel; None if the library is unavailable
+    (callers fall back to io/lz4frame.py's pure-Python mirror)."""
+    lib = _load_bag()
+    if lib is None or not hasattr(lib, "bag_xxh32"):
+        return None
+    return int(lib.bag_xxh32(data, len(data), seed & 0xFFFFFFFF))
 
 
 def bag_available() -> bool:

@@ -126,9 +126,68 @@ int64_t scan(const uint8_t* buf, int64_t n, int64_t off, int64_t max_records,
     return count;
 }
 
+// ---------------------------------------------------------------------------
+// xxHash32 — checksum of the LZ4 frame format rosbag's roslz4 compression
+// uses (spec: xxHash/doc/xxhash_spec.md; known-answer-tested in
+// tests/test_rosbag.py). liblz4.so.1 in this image does not export XXH32,
+// so the frame codec (io/lz4frame.py) calls this kernel for real chunk
+// sizes and falls back to a pure-Python mirror.
+// ---------------------------------------------------------------------------
+
+const uint32_t kP1 = 2654435761U, kP2 = 2246822519U, kP3 = 3266489917U,
+               kP4 = 668265263U, kP5 = 374761393U;
+
+inline uint32_t rotl32(uint32_t x, int r) {
+    return (x << r) | (x >> (32 - r));
+}
+
+inline uint32_t xxh_round(uint32_t acc, uint32_t lane) {
+    return rotl32(acc + lane * kP2, 13) * kP1;
+}
+
+uint32_t xxh32(const uint8_t* p, int64_t len, uint32_t seed) {
+    const uint8_t* end = p + len;
+    uint32_t h;
+    if (len >= 16) {
+        uint32_t v1 = seed + kP1 + kP2, v2 = seed + kP2, v3 = seed,
+                 v4 = seed - kP1;
+        const uint8_t* limit = end - 16;
+        do {
+            v1 = xxh_round(v1, rd_u32(p)); p += 4;
+            v2 = xxh_round(v2, rd_u32(p)); p += 4;
+            v3 = xxh_round(v3, rd_u32(p)); p += 4;
+            v4 = xxh_round(v4, rd_u32(p)); p += 4;
+        } while (p <= limit);
+        h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+    } else {
+        h = seed + kP5;
+    }
+    h += (uint32_t)len;
+    while (p + 4 <= end) {
+        h += rd_u32(p) * kP3;
+        h = rotl32(h, 17) * kP4;
+        p += 4;
+    }
+    while (p < end) {
+        h += (*p) * kP5;
+        h = rotl32(h, 11) * kP1;
+        ++p;
+    }
+    h ^= h >> 15;
+    h *= kP2;
+    h ^= h >> 13;
+    h *= kP3;
+    h ^= h >> 16;
+    return h;
+}
+
 }  // namespace
 
 extern "C" {
+
+uint32_t bag_xxh32(const uint8_t* buf, int64_t n, uint32_t seed) {
+    return xxh32(buf, n, seed);
+}
 
 int64_t bag_count_records(const uint8_t* buf, int64_t n, int64_t off) {
     int64_t stop[3];

@@ -379,6 +379,55 @@ def test_native_scanner_equivalence_two_conns(stream, tmp_path):
     _assert_native_python_equal(path)
 
 
+def test_bag_streaming_constant_memory(stream, tmp_path, monkeypatch):
+    """read_messages streams chunk-at-a-time: after the first message of a
+    multi-chunk bag, only ~the first chunk has been read from disk (no
+    whole-file slurp — multi-GB real bags must not need file-sized RAM)."""
+    import builtins
+    import os
+
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel) * 8
+    path = str(tmp_path / "streamy.bag")
+    rb.write_bag(path, msgs, chunk_size=16384)
+    size = os.path.getsize(path)
+    counters = {"read": 0}
+    real_open = builtins.open
+
+    class CountingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def read(self, n=-1):
+            b = self._f.read(n)
+            counters["read"] += len(b)
+            return b
+
+        def seek(self, *a):
+            return self._f.seek(*a)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return self._f.__exit__(*a)
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+    def fake_open(p, *a, **k):
+        f = real_open(p, *a, **k)
+        return CountingFile(f) if p == path else f
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    it = rb.read_messages(path)
+    next(it)
+    assert counters["read"] < size / 2, (counters["read"], size)
+    assert 1 + sum(1 for _ in it) == len(msgs)
+    # everything framed exactly once: no over-reading either
+    assert counters["read"] <= size
+
+
 def test_native_scanner_speedup(stream, tmp_path):
     """The native scanner exists for throughput: on a many-record bag it
     must beat the Python framing (sanity bound, not a benchmark)."""
@@ -401,6 +450,132 @@ def test_native_scanner_speedup(stream, tmp_path):
     assert n_nat == n_py == len(msgs)
     # allow noise; typical measured ratio is >>2x
     assert t_nat < t_py
+
+
+# ---------------------------------------------------------------------------
+# lz4 chunk compression (roslz4 wire format)
+# ---------------------------------------------------------------------------
+
+def _require_lz4():
+    from hitl_slam_tpu.io import lz4frame
+
+    if not lz4frame.available():
+        pytest.skip("liblz4.so.1 unavailable")
+    return lz4frame
+
+
+def test_xxh32_spec_vectors_and_fallback():
+    """Known-answer vectors from the xxHash spec + native-vs-pure-Python
+    cross-check on random lengths crossing every tail path."""
+    from hitl_slam_tpu.io import lz4frame
+
+    vectors = [(b"", 0, 0x02CC5D05), (b"abc", 0, 0x32D153FF),
+               (b"Nobody inspects the spammish repetition", 0, 0xE2293B2F)]
+    for data, seed, want in vectors:
+        assert lz4frame._xxh32_py(data, seed) == want
+        assert lz4frame.xxh32(data, seed) == want
+    rng = np.random.default_rng(11)
+    for n in (1, 3, 4, 15, 16, 17, 31, 257, 65536, 100001):
+        data = rng.integers(0, 256, n, np.uint8).tobytes()
+        seed = int(rng.integers(0, 2**32))
+        assert lz4frame.xxh32(data, seed) == lz4frame._xxh32_py(data, seed)
+
+
+def test_lz4_frame_roundtrip():
+    lz4frame = _require_lz4()
+    rng = np.random.default_rng(12)
+    cases = [b"", b"x", b"hello world " * 40000,          # multi-block
+             rng.integers(0, 256, 70000, np.uint8).tobytes()]  # stored blocks
+    for data in cases:
+        enc = lz4frame.compress(data)
+        assert lz4frame.decompress(enc) == data
+    # corruption in a block body and in the content checksum both raise
+    enc = bytearray(lz4frame.compress(b"hello world " * 4000))
+    enc[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        lz4frame.decompress(bytes(enc))
+    enc2 = bytearray(lz4frame.compress(b"hello world " * 4000))
+    enc2[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="content checksum"):
+        lz4frame.decompress(bytes(enc2))
+
+
+def test_lz4_frame_general_features():
+    """The reader accepts frames beyond what we write: content-size field,
+    per-block checksums, and block-LINKED frames (dict-chained decode)."""
+    import ctypes
+    import struct
+
+    lz4frame = _require_lz4()
+    data = (b"the quick brown fox jumps over the lazy dog. " * 5000)
+
+    # hand-build: FLG = v01 | blockChecksum | contentSize | contentChecksum,
+    # LINKED blocks (independence bit CLEAR)
+    flg = (1 << 6) | (1 << 4) | (1 << 3) | (1 << 2)
+    bd = 0x40
+    desc = struct.pack("<BBQ", flg, bd, len(data))
+    header = struct.pack("<I", lz4frame._MAGIC) + desc
+    parts = [header, bytes([(lz4frame.xxh32(desc) >> 8) & 0xFF])]
+    lib = ctypes.CDLL("liblz4.so.1")
+    lib.LZ4_createStream.restype = ctypes.c_void_p
+    lib.LZ4_compress_fast_continue.restype = ctypes.c_int
+    lib.LZ4_compress_fast_continue.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.LZ4_freeStream.argtypes = [ctypes.c_void_p]
+    stream = lib.LZ4_createStream()
+    held = []   # LZ4_compress_fast_continue requires prior srcs stay mapped
+    try:
+        for i in range(0, len(data), 1 << 16):
+            blk = data[i:i + (1 << 16)]
+            held.append(blk)
+            dst = ctypes.create_string_buffer((1 << 16) + 256)
+            m = lib.LZ4_compress_fast_continue(
+                stream, blk, dst, len(blk), len(dst), 1)
+            assert m > 0
+            parts.append(struct.pack("<I", m))
+            parts.append(dst.raw[:m])
+            parts.append(struct.pack("<I", lz4frame.xxh32(dst.raw[:m])))
+    finally:
+        lib.LZ4_freeStream(stream)
+    parts.append(struct.pack("<II", 0, lz4frame.xxh32(data)))
+    assert lz4frame.decompress(b"".join(parts)) == data
+
+
+def test_bag_lz4_roundtrip_and_equivalence(stream, tmp_path):
+    """lz4-compressed bags parse identically to uncompressed ones, through
+    both the native and Python record paths; mixed now cycles all three."""
+    _require_lz4()
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    ref = str(tmp_path / "ref.bag")
+    rb.write_bag(ref, msgs)
+    path = str(tmp_path / "lz4.bag")
+    rb.write_bag(path, msgs, compression="lz4", chunk_size=8192)
+    mixed = str(tmp_path / "mixed.bag")
+    rb.write_bag(mixed, msgs, compression="mixed", chunk_size=8192)
+
+    comps = {h.get("compression", b"") for h, _ in
+             rb._iter_records(open(mixed, "rb").read(), len(rb.VERSION_LINE))
+             if h.get("op", b"\x00")[0] == 0x05}
+    assert comps == {b"none", b"bz2", b"lz4"}
+
+    a = rb.bag_to_stream(ref)
+    for p in (path, mixed):
+        b = rb.bag_to_stream(p)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_allclose(a[2], b[2], atol=1e-7)
+        _assert_native_python_equal(p)
+
+    # a corrupt lz4 chunk is skipped with a warning, like corrupt bz2
+    blob = open(path, "rb").read()
+    bad = blob.replace(b"\x04\x22\x4d\x18", b"\x00\x22\x4d\x18", 1)
+    assert bad != blob
+    badp = str(tmp_path / "bad.bag")
+    open(badp, "wb").write(bad)
+    with pytest.warns(UserWarning, match="corrupt lz4 chunk"):
+        out = list(rb.read_messages(badp))
+    assert 0 < len(out) < len(msgs)
 
 
 def test_apply_set_locations_midrun():
