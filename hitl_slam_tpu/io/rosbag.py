@@ -211,7 +211,7 @@ def _iter_records_file(f, off: int, n: int):
         warnings.warn(f"{n - off} trailing bytes in bag ignored")
 
 
-def read_messages(path: str, use_native: bool = True):
+def read_messages(path: str, use_native: bool = True, topics=None):
     """Yield BagMessage for every message record, in chunk order.
 
     Streams the bag chunk-at-a-time (constant memory in the file size; the
@@ -219,7 +219,16 @@ def read_messages(path: str, use_native: bool = True):
     routes per-record framing + hot-field extraction inside each chunk
     through the C++ scanner (native/bag_scanner.cpp) when buildable,
     falling back to the pure-Python path; both are behaviorally identical
-    (test_rosbag.py equivalence suite)."""
+    (test_rosbag.py equivalence suite).
+
+    topics: optional iterable of topic names — the rosbag::View(TopicQuery)
+    analog (vector_mapping_main.cpp:1359-1378 subscribes only the laser /
+    odometry / set_location topics). When given, only matching messages are
+    yielded, and when the bag carries a readable trailing index (bag-header
+    index_pos -> connection + CHUNK_INFO records), chunks whose index shows
+    no matching connection are skipped WITHOUT being read or decompressed —
+    on real robot bags the bulk (camera images) never touches bz2/lz4."""
+    tset = None if topics is None else frozenset(topics)
     with open(path, "rb") as f:
         f.seek(0, 2)
         n = f.tell()
@@ -232,23 +241,131 @@ def read_messages(path: str, use_native: bool = True):
             from .. import native
             if native.bag_available():
                 scan = native.scan_bag_records
+        stream = None
+        if tset is not None:
+            index = _load_index(f, n)
+            if index is not None:
+                stream = _messages_indexed(f, n, scan, index, tset)
+        if stream is None:
+            f.seek(len(VERSION_LINE))
+            stream = _messages_linear(f, n, scan)
+        for msg in stream:
+            if tset is None or msg.topic in tset:
+                yield msg
+
+
+def _messages_linear(f, n: int, scan):
+    """Forward scan of every record from the current file position."""
+    conns: dict[int, tuple[str, str]] = {}
+    for header, data in _iter_records_file(f, f.tell(), n):
+        if _op_of(header) == _OP_CHUNK:
+            payload = _chunk_payload(header, data)
+            if payload is None:
+                continue
+            yield from _chunk_messages(payload, conns, scan)
+        else:
+            msg = _handle_record(header, data, conns)
+            if msg is not None:
+                yield msg
+
+
+def _chunk_messages(payload: bytes, conns, scan):
+    if scan is not None:
+        yield from _chunk_messages_native(payload, conns, scan)
+        return
+    for h2, d2 in _iter_records(payload, where="chunk"):
+        msg = _handle_record(h2, d2, conns)
+        if msg is not None:
+            yield msg
+
+
+def _load_index(f, n: int):
+    """Parse the trailing index section. Returns (conns, chunk_infos) where
+    chunk_infos is [(chunk_pos, {conn_id: msg_count})] in file order, or
+    None (with a warning for damaged indexes) when the bag has no usable
+    index — callers fall back to the linear scan (rosbag ships `reindex`
+    for exactly these bags)."""
+    try:
+        f.seek(len(VERSION_LINE))
+        first = next(_iter_records_file(f, len(VERSION_LINE), n), None)
+        if first is None:
+            return None
+        header, _ = first
+        if (_op_of(header) != _OP_BAG_HEADER
+                or len(header.get("index_pos", b"")) < 8):
+            return None
+        (index_pos,) = struct.unpack("<Q", header["index_pos"][:8])
+        if not len(VERSION_LINE) < index_pos < n:
+            return None   # 0 = unindexed (crash-cut); out of range = damaged
+        chunk_count = None
+        if len(header.get("chunk_count", b"")) >= 4:
+            (chunk_count,) = struct.unpack("<I", header["chunk_count"][:4])
+        f.seek(index_pos)
         conns: dict[int, tuple[str, str]] = {}
-        for header, data in _iter_records_file(f, len(VERSION_LINE), n):
-            if _op_of(header) == _OP_CHUNK:
-                payload = _chunk_payload(header, data)
-                if payload is None:
-                    continue
-                if scan is not None:
-                    yield from _chunk_messages_native(payload, conns, scan)
-                else:
-                    for h2, d2 in _iter_records(payload, where="chunk"):
-                        msg = _handle_record(h2, d2, conns)
-                        if msg is not None:
-                            yield msg
-            else:
-                msg = _handle_record(header, data, conns)
-                if msg is not None:
-                    yield msg
+        chunk_infos: list[tuple[int, dict[int, int]]] = []
+        with warnings.catch_warnings(record=True) as damage:
+            warnings.simplefilter("always")
+            for header, data in _iter_records_file(f, index_pos, n):
+                op = _op_of(header)
+                if op == _OP_CONNECTION:
+                    _handle_connection(header, data, conns)
+                elif op == _OP_CHUNK_INFO:
+                    if len(header.get("chunk_pos", b"")) < 8:
+                        raise ValueError("chunk_info without chunk_pos")
+                    (pos,) = struct.unpack("<Q", header["chunk_pos"][:8])
+                    counts: dict[int, int] = {}
+                    for off in range(0, len(data) - 7, 8):
+                        cid, cnt = struct.unpack_from("<II", data, off)
+                        counts[cid] = counts.get(cid, 0) + cnt
+                    chunk_infos.append((pos, counts))
+                elif op == _OP_CHUNK:
+                    raise ValueError("chunk record inside the index section")
+        if damage:
+            # a truncated/garbled index would silently drop tail chunks —
+            # damage means fall back to the full linear scan
+            raise ValueError(str(damage[0].message))
+        if chunk_count is not None and len(chunk_infos) != chunk_count:
+            raise ValueError(
+                f"index lists {len(chunk_infos)} chunks, bag header "
+                f"declares {chunk_count}")
+        if not chunk_infos:
+            return None
+        if any(not len(VERSION_LINE) <= pos < n for pos, _ in chunk_infos):
+            raise ValueError("chunk_pos out of range")
+        chunk_infos.sort(key=lambda pc: pc[0])   # message order = file order
+        return conns, chunk_infos
+    except (ValueError, struct.error, OSError) as e:
+        warnings.warn(f"bag index unreadable ({e}); falling back to a "
+                      "linear scan")
+        return None
+
+
+def _messages_indexed(f, n: int, scan, index, tset):
+    """Index-driven chunk iteration: seek to each chunk whose CHUNK_INFO
+    shows a connection on a requested topic; untouched chunks are never
+    read or decompressed. Message order within and across visited chunks
+    matches the linear scan (chunk_infos are in file order)."""
+    index_conns, chunk_infos = index
+    relevant = {cid for cid, (topic, _) in index_conns.items()
+                if topic in tset}
+    conns = dict(index_conns)   # chunks repeat their own connection records
+    for pos, counts in chunk_infos:
+        if not any(cid in relevant and cnt > 0 for cid, cnt in
+                   counts.items()):
+            continue
+        f.seek(pos)
+        rec = next(_iter_records_file(f, pos, n), None)
+        if rec is None:
+            return
+        header, data = rec
+        if _op_of(header) != _OP_CHUNK:
+            warnings.warn(f"index chunk_pos {pos} does not point at a "
+                          "chunk record; skipped")
+            continue
+        payload = _chunk_payload(header, data)
+        if payload is None:
+            continue
+        yield from _chunk_messages(payload, conns, scan)
 
 
 def _stop_warn(stop, where: str, n: int) -> None:
@@ -367,6 +484,11 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
     events in stream order — apply with apply_set_locations).
     rel_odometry[i] is the odometry motion between laser scans i-1 and i
     in scan i-1's frame (dx, dy, dtheta); row 0 is 0.
+
+    Subscribes only the reference's topic set (rosbag::View + TopicQuery,
+    vector_mapping_main.cpp:1359-1378): on indexed real bags, chunks that
+    carry only other topics (camera images dominate robot bags) are never
+    read or decompressed.
     """
     scans: list[np.ndarray] = []
     rels: list[np.ndarray] = []
@@ -383,7 +505,9 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
     rel_ang = 0.0
 
     skipped = 0
-    for msg in read_messages(path):
+    wanted = (*LASER_TOPICS, ODOM_TOPIC_STD, ODOM_TOPIC_COBOT,
+              SET_LOCATION_TOPIC)
+    for msg in read_messages(path, topics=wanted):
         if t0 is None:
             t0 = msg.time
         if msg.time - t0 < time_skip:

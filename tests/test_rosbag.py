@@ -453,6 +453,101 @@ def test_native_scanner_speedup(stream, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# topic filtering + index-driven chunk skipping (rosbag::View analog)
+# ---------------------------------------------------------------------------
+
+def _noisy_bag_messages(stream, n_blobs=30):
+    """A robot-like bag: laser + odometry interleaved with a bulky
+    irrelevant topic (camera images dominate real bags)."""
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    rng = np.random.default_rng(9)
+    out = []
+    for i, m in enumerate(msgs):
+        out.append(m)
+        if i % (len(msgs) // n_blobs + 1) == 0:
+            out.append(("/camera/image", "sensor_msgs/Image",
+                        m[2] + 0.001, rng.bytes(20000)))
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_bag_topic_filter_matches_postfilter(stream, tmp_path, use_native):
+    msgs = _noisy_bag_messages(stream)
+    path = str(tmp_path / "noisy.bag")
+    rb.write_bag(path, msgs, compression="bz2", chunk_size=32768)
+    want = ("laser", "/Cobot/Odometry")
+    full = [m for m in rb.read_messages(path, use_native=use_native)
+            if m.topic in want]
+    filt = list(rb.read_messages(path, use_native=use_native, topics=want))
+    assert len(filt) == len(full) > 0
+    for a, b in zip(filt, full):
+        assert (a.topic, a.time, a.raw) == (b.topic, b.time, b.raw)
+
+
+def test_bag_index_skips_irrelevant_chunks(stream, tmp_path, monkeypatch):
+    """Topic-segregated chunks that carry no requested topic are never
+    DECOMPRESSED when the trailing index is readable."""
+    msgs = _noisy_bag_messages(stream)
+    # segregate: all camera blobs first, then the robot topics — the
+    # camera chunks carry nothing we ask for
+    msgs.sort(key=lambda m: (m[0] != "/camera/image", m[2]))
+    path = str(tmp_path / "seg.bag")
+    rb.write_bag(path, msgs, compression="bz2", chunk_size=32768)
+
+    calls = {"n": 0}
+    real = rb._chunk_payload
+
+    def counting(header, data):
+        calls["n"] += 1
+        return real(header, data)
+
+    monkeypatch.setattr(rb, "_chunk_payload", counting)
+    n_all = sum(1 for _ in rb.read_messages(path))
+    total_chunks = calls["n"]
+    calls["n"] = 0
+    want = ("laser", "/Cobot/Odometry", "set_location")
+    got = list(rb.read_messages(path, topics=want))
+    assert calls["n"] < total_chunks            # camera chunks untouched
+    n_cam = sum(1 for m in msgs if m[0] == "/camera/image")
+    assert len(got) == n_all - n_cam
+    # and the messages themselves match the linear-scan postfilter
+    linear = [m for m in rb.read_messages(path) if m.topic in want]
+    assert [(m.topic, m.time, m.raw) for m in got] == \
+        [(m.topic, m.time, m.raw) for m in linear]
+
+
+def test_bag_topic_filter_unindexed_fallback(stream, tmp_path):
+    """A crash-cut bag (index_pos=0, the reindex case) still serves a
+    topic-filtered read via the linear scan."""
+    import struct
+
+    msgs = _noisy_bag_messages(stream)
+    path = str(tmp_path / "cut.bag")
+    rb.write_bag(path, msgs, chunk_size=32768)
+    blob = bytearray(open(path, "rb").read())
+    # zero the bag header's index_pos back-patch (rosbag's crash marker)
+    pos = blob.find(b"index_pos=")
+    assert pos > 0
+    blob[pos + len(b"index_pos="):pos + len(b"index_pos=") + 8] = bytes(8)
+    open(path, "wb").write(bytes(blob))
+    want = ("laser",)
+    got = list(rb.read_messages(path, topics=want))
+    linear = [m for m in rb.read_messages(path) if m.topic in want]
+    assert len(got) == len(linear) > 0
+    # a DAMAGED index (truncated tail cutting into it) warns and falls back
+    cut = str(tmp_path / "cut2.bag")
+    full = open(str(tmp_path / "cut.bag"), "rb").read()
+    rb.write_bag(cut, msgs, chunk_size=32768)
+    blob2 = open(cut, "rb").read()
+    open(cut, "wb").write(blob2[:-64])
+    with pytest.warns(UserWarning, match="falling back to a linear scan"):
+        got2 = list(rb.read_messages(cut, topics=want))
+    assert len(got2) == len(linear)
+    del full
+
+
+# ---------------------------------------------------------------------------
 # lz4 chunk compression (roslz4 wire format)
 # ---------------------------------------------------------------------------
 
