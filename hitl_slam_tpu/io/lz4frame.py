@@ -122,18 +122,43 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 def decompress(data: bytes) -> bytes:
-    """Decode one LZ4 frame. Raises ValueError on any corruption or on an
-    unsupported feature (external dictionary)."""
+    """Decode a sequence of LZ4 frames (an lz4 stream may concatenate
+    frames; skippable frames are skipped per spec). Raises ValueError on
+    any corruption, trailing garbage, or an unsupported feature (external
+    dictionary)."""
     lib = _lib()
     if lib is None:
         raise ValueError("liblz4.so.1 unavailable; cannot read lz4 chunks")
+    out = bytearray()
+    off = 0
     n = len(data)
-    if n < 7:
+    if n == 0:
+        raise ValueError("empty lz4 stream")
+    while off < n:
+        if off + 4 > n:
+            raise ValueError("trailing garbage after lz4 frame")
+        (magic,) = struct.unpack_from("<I", data, off)
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:     # skippable frame
+            if off + 8 > n:
+                raise ValueError("truncated lz4 skippable frame")
+            (size,) = struct.unpack_from("<I", data, off + 4)
+            off += 8 + size
+            if off > n:
+                raise ValueError("truncated lz4 skippable frame")
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"bad lz4 frame magic {magic:#010x}")
+        off = _decompress_frame(lib, data, off, out)
+    return bytes(out)
+
+
+def _decompress_frame(lib, data: bytes, start: int, out: bytearray) -> int:
+    """Decode ONE frame starting at `start` (magic already verified),
+    append to `out`, and return the offset one past the frame's end."""
+    n = len(data)
+    if start + 7 > n:
         raise ValueError("lz4 frame too short")
-    (magic,) = struct.unpack_from("<I", data, 0)
-    if magic != _MAGIC:
-        raise ValueError(f"bad lz4 frame magic {magic:#010x}")
-    flg, bd = data[4], data[5]
+    flg, bd = data[start + 4], data[start + 5]
     if flg >> 6 != 1:
         raise ValueError(f"unsupported lz4 frame version {flg >> 6}")
     indep = (flg >> 5) & 1
@@ -145,14 +170,14 @@ def decompress(data: bytes) -> bytes:
     bmax = _BLOCK_SIZES.get((bd >> 4) & 0x7)
     if bmax is None:
         raise ValueError(f"bad lz4 block-size id {(bd >> 4) & 0x7}")
-    off = 6 + (8 if has_csize else 0)
+    off = start + 6 + (8 if has_csize else 0)
     if off >= n:
         raise ValueError("truncated lz4 frame header")
-    if (xxh32(data[4:off]) >> 8) & 0xFF != data[off]:
+    if (xxh32(data[start + 4:off]) >> 8) & 0xFF != data[off]:
         raise ValueError("lz4 frame header checksum mismatch")
     off += 1
 
-    out = bytearray()
+    frame = bytearray()   # frame-local: block linkage never crosses frames
     dst = ctypes.create_string_buffer(bmax)
     while True:
         if off + 4 > n:
@@ -177,26 +202,28 @@ def decompress(data: bytes) -> bytes:
             if xxh32(block) != bc:
                 raise ValueError("lz4 block checksum mismatch")
         if stored:
-            out += block
-        elif indep or not out:
+            frame += block
+        elif indep or not frame:
             m = lib.LZ4_decompress_safe(block, dst, bsize, bmax)
             if m < 0:
                 raise ValueError("corrupt lz4 block data")
-            out += dst.raw[:m]
+            frame += dst[:m]
         else:
-            prefix = bytes(out[-65536:])
+            prefix = bytes(frame[-65536:])
             m = lib.LZ4_decompress_safe_usingDict(
                 block, dst, bsize, bmax, prefix, len(prefix))
             if m < 0:
                 raise ValueError("corrupt lz4 block data (linked)")
-            out += dst.raw[:m]
+            frame += dst[:m]
     if content_checksum:
         if off + 4 > n:
             raise ValueError("truncated lz4 content checksum")
         (cc,) = struct.unpack_from("<I", data, off)
-        if xxh32(bytes(out)) != cc:
+        off += 4
+        if xxh32(bytes(frame)) != cc:
             raise ValueError("lz4 content checksum mismatch")
-    return bytes(out)
+    out += frame
+    return off
 
 
 def compress(data: bytes) -> bytes:
@@ -215,7 +242,7 @@ def compress(data: bytes) -> bytes:
         m = lib.LZ4_compress_default(blk, dst, len(blk), len(dst))
         if 0 < m < len(blk):
             parts.append(struct.pack("<I", m))
-            parts.append(dst.raw[:m])
+            parts.append(dst[:m])
         else:
             parts.append(struct.pack("<I", len(blk) | 0x80000000))
             parts.append(blk)

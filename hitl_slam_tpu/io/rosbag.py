@@ -34,6 +34,7 @@ multiple connections per topic and unknown record ops are handled.
 from __future__ import annotations
 
 import bz2
+import io
 import struct
 import warnings
 from dataclasses import dataclass
@@ -77,31 +78,50 @@ def _parse_header(buf: bytes) -> dict:
     return fields
 
 
-def _iter_records(buf: bytes, off: int = 0, where: str = "bag"):
-    """Yield (header, data) records; a TRUNCATED tail (crash-cut bag, the
-    most common real-world quirk — rosbag ships a reindex tool for exactly
-    this) stops iteration cleanly with a warning instead of raising."""
-    n = len(buf)
+def _emit(damage, msg: str) -> None:
+    """Route a framing diagnostic: warn by default, or append to the
+    caller's list (thread-safe control-flow signal for _load_index)."""
+    if damage is None:
+        warnings.warn(msg)
+    else:
+        damage.append(msg)
+
+
+def _iter_records_stream(f, off: int, n: int, where: str = "bag",
+                         damage=None):
+    """Yield (header, data) records from a file-like positioned at `off`
+    (absolute offsets; n = total size, so in-memory and streaming callers
+    produce identical diagnostics on the same bytes). A TRUNCATED tail
+    (crash-cut bag, the most common real-world quirk — rosbag ships a
+    reindex tool for exactly this) stops iteration cleanly with a warning
+    instead of raising."""
     while off + 4 <= n:
-        (hlen,) = struct.unpack_from("<I", buf, off)
+        (hlen,) = struct.unpack("<I", f.read(4))
         off += 4
         if off + hlen + 4 > n:
-            warnings.warn(f"truncated record header in {where} "
+            _emit(damage, f"truncated record header in {where} "
                           f"(offset {off - 4}/{n}); stopping")
             return
-        header = _parse_header(buf[off:off + hlen])
+        header = _parse_header(f.read(hlen))
         off += hlen
-        (dlen,) = struct.unpack_from("<I", buf, off)
+        (dlen,) = struct.unpack("<I", f.read(4))
         off += 4
         if off + dlen > n:
-            warnings.warn(f"truncated record data in {where} "
+            _emit(damage, f"truncated record data in {where} "
                           f"(offset {off - 4}/{n}); stopping")
             return
-        data = buf[off:off + dlen]
+        data = f.read(dlen)
         off += dlen
         yield header, data
     if off != n and n - off >= 1:
-        warnings.warn(f"{n - off} trailing bytes in {where} ignored")
+        _emit(damage, f"{n - off} trailing bytes in {where} ignored")
+
+
+def _iter_records(buf: bytes, off: int = 0, where: str = "bag"):
+    """In-memory wrapper over _iter_records_stream (chunk payloads)."""
+    f = io.BytesIO(buf)
+    f.seek(off)
+    yield from _iter_records_stream(f, off, len(buf), where)
 
 
 @dataclass
@@ -182,35 +202,6 @@ def _chunk_payload(header, data):
         "(only none/bz2/lz4; re-record or decompress the bag)")
 
 
-def _iter_records_file(f, off: int, n: int):
-    """Top-level record iteration directly from a file handle — the
-    STREAMING analog of _iter_records: only one record (at most one chunk,
-    the rosbag unit of buffering, 768 KB by default) is resident at a time,
-    so multi-GB bags read in constant memory. Offsets are absolute file
-    offsets and n is the file size, producing warning text identical to the
-    in-memory path on the same byte stream."""
-    while off + 4 <= n:
-        (hlen,) = struct.unpack("<I", f.read(4))
-        off += 4
-        if off + hlen + 4 > n:
-            warnings.warn(f"truncated record header in bag "
-                          f"(offset {off - 4}/{n}); stopping")
-            return
-        header = _parse_header(f.read(hlen))
-        off += hlen
-        (dlen,) = struct.unpack("<I", f.read(4))
-        off += 4
-        if off + dlen > n:
-            warnings.warn(f"truncated record data in bag "
-                          f"(offset {off - 4}/{n}); stopping")
-            return
-        data = f.read(dlen)
-        off += dlen
-        yield header, data
-    if off != n and n - off >= 1:
-        warnings.warn(f"{n - off} trailing bytes in bag ignored")
-
-
 def read_messages(path: str, use_native: bool = True, topics=None):
     """Yield BagMessage for every message record, in chunk order.
 
@@ -257,7 +248,7 @@ def read_messages(path: str, use_native: bool = True, topics=None):
 def _messages_linear(f, n: int, scan):
     """Forward scan of every record from the current file position."""
     conns: dict[int, tuple[str, str]] = {}
-    for header, data in _iter_records_file(f, f.tell(), n):
+    for header, data in _iter_records_stream(f, f.tell(), n):
         if _op_of(header) == _OP_CHUNK:
             payload = _chunk_payload(header, data)
             if payload is None:
@@ -287,7 +278,7 @@ def _load_index(f, n: int):
     for exactly these bags)."""
     try:
         f.seek(len(VERSION_LINE))
-        first = next(_iter_records_file(f, len(VERSION_LINE), n), None)
+        first = next(_iter_records_stream(f, len(VERSION_LINE), n), None)
         if first is None:
             return None
         header, _ = first
@@ -303,27 +294,27 @@ def _load_index(f, n: int):
         f.seek(index_pos)
         conns: dict[int, tuple[str, str]] = {}
         chunk_infos: list[tuple[int, dict[int, int]]] = []
-        with warnings.catch_warnings(record=True) as damage:
-            warnings.simplefilter("always")
-            for header, data in _iter_records_file(f, index_pos, n):
-                op = _op_of(header)
-                if op == _OP_CONNECTION:
-                    _handle_connection(header, data, conns)
-                elif op == _OP_CHUNK_INFO:
-                    if len(header.get("chunk_pos", b"")) < 8:
-                        raise ValueError("chunk_info without chunk_pos")
-                    (pos,) = struct.unpack("<Q", header["chunk_pos"][:8])
-                    counts: dict[int, int] = {}
-                    for off in range(0, len(data) - 7, 8):
-                        cid, cnt = struct.unpack_from("<II", data, off)
-                        counts[cid] = counts.get(cid, 0) + cnt
-                    chunk_infos.append((pos, counts))
-                elif op == _OP_CHUNK:
-                    raise ValueError("chunk record inside the index section")
+        damage: list[str] = []
+        for header, data in _iter_records_stream(f, index_pos, n,
+                                                 damage=damage):
+            op = _op_of(header)
+            if op == _OP_CONNECTION:
+                _handle_connection(header, data, conns)
+            elif op == _OP_CHUNK_INFO:
+                if len(header.get("chunk_pos", b"")) < 8:
+                    raise ValueError("chunk_info without chunk_pos")
+                (pos,) = struct.unpack("<Q", header["chunk_pos"][:8])
+                counts: dict[int, int] = {}
+                for off in range(0, len(data) - 7, 8):
+                    cid, cnt = struct.unpack_from("<II", data, off)
+                    counts[cid] = counts.get(cid, 0) + cnt
+                chunk_infos.append((pos, counts))
+            elif op == _OP_CHUNK:
+                raise ValueError("chunk record inside the index section")
         if damage:
             # a truncated/garbled index would silently drop tail chunks —
             # damage means fall back to the full linear scan
-            raise ValueError(str(damage[0].message))
+            raise ValueError(damage[0])
         if chunk_count is not None and len(chunk_infos) != chunk_count:
             raise ValueError(
                 f"index lists {len(chunk_infos)} chunks, bag header "
@@ -354,9 +345,13 @@ def _messages_indexed(f, n: int, scan, index, tset):
                    counts.items()):
             continue
         f.seek(pos)
-        rec = next(_iter_records_file(f, pos, n), None)
+        rec = next(_iter_records_stream(f, pos, n), None)
         if rec is None:
-            return
+            # unreadable record at chunk_pos; later indexed chunks may
+            # still be intact — skip, don't abort the whole iteration
+            warnings.warn(f"index chunk at offset {pos} unreadable; "
+                          "skipped")
+            continue
         header, data = rec
         if _op_of(header) != _OP_CHUNK:
             warnings.warn(f"index chunk_pos {pos} does not point at a "
@@ -736,6 +731,15 @@ def write_bag(path: str, messages, compression: str = "none",
                  "topic": topic.encode()}, conn_data))
     if compression not in ("none", "bz2", "lz4", "mixed"):
         raise ValueError(f"unsupported compression {compression!r}")
+    mixed_cycle = ("none", "bz2", "lz4")
+    if compression in ("lz4", "mixed"):
+        from . import lz4frame
+
+        if not lz4frame.available():
+            if compression == "lz4":
+                raise ValueError(
+                    "lz4 compression requested but liblz4.so.1 unavailable")
+            mixed_cycle = ("none", "bz2")   # degrade gracefully
 
     # split messages into chunks of ~chunk_size serialized bytes
     chunks: list[list[tuple[str, float, bytes]]] = [[]]
@@ -761,7 +765,7 @@ def write_bag(path: str, messages, compression: str = "none",
 
         for k, cmsgs in enumerate(chunks):
             comp = (compression if compression != "mixed"
-                    else ("none", "bz2", "lz4")[k % 3])
+                    else mixed_cycle[k % len(mixed_cycle)])
             # real rosbag repeats the connection records in every chunk
             parts = list(conn_records)
             offset = sum(map(len, parts))   # running byte cursor (O(M))

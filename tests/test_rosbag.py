@@ -595,6 +595,24 @@ def test_lz4_frame_roundtrip():
         lz4frame.decompress(bytes(enc2))
 
 
+def test_lz4_concatenated_and_skippable_frames():
+    """An lz4 stream may concatenate frames and interleave skippable
+    frames; trailing garbage must raise, not be silently dropped."""
+    import struct
+
+    lz4frame = _require_lz4()
+    a, b = b"first frame " * 3000, b"second frame " * 2000
+    skippable = struct.pack("<II", 0x184D2A50, 7) + b"7 bytes"
+    enc = lz4frame.compress(a) + skippable + lz4frame.compress(b)
+    assert lz4frame.decompress(enc) == a + b
+    with pytest.raises(ValueError, match="magic|garbage"):
+        lz4frame.decompress(lz4frame.compress(a) + b"junk after frame")
+    with pytest.raises(ValueError, match="garbage"):
+        lz4frame.decompress(lz4frame.compress(a) + b"\x01\x02")
+    with pytest.raises(ValueError, match="empty"):
+        lz4frame.decompress(b"")
+
+
 def test_lz4_frame_general_features():
     """The reader accepts frames beyond what we write: content-size field,
     per-block checksums, and block-LINKED frames (dict-chained decode)."""
