@@ -754,14 +754,7 @@ def write_bag(path: str, messages, compression: str = "none",
     chunk_infos = []
     with open(path, "wb") as f:
         f.write(VERSION_LINE)
-        bh_fields = {"op": bytes([_OP_BAG_HEADER]),
-                     "index_pos": struct.pack("<Q", 0),
-                     "conn_count": struct.pack("<I", len(topics)),
-                     "chunk_count": struct.pack("<I", len(chunks))}
-        header = b"".join(_field(k, v) for k, v in bh_fields.items())
-        pad = 4096 - 4 - len(header) - 4
-        f.write(struct.pack("<I", len(header)) + header
-                + struct.pack("<I", pad) + b" " * pad)
+        f.write(_bag_header_record(0, len(topics), len(chunks)))
 
         for k, cmsgs in enumerate(chunks):
             comp = (compression if compression != "mixed"
@@ -821,6 +814,222 @@ def write_bag(path: str, messages, compression: str = "none",
             f.write(rec)
         # back-patch index_pos in the bag header
         f.seek(len(VERSION_LINE))
-        bh_fields["index_pos"] = struct.pack("<Q", index_pos)
-        header = b"".join(_field(k, v) for k, v in bh_fields.items())
-        f.write(struct.pack("<I", len(header)) + header)
+        f.write(_bag_header_record(index_pos, len(topics), len(chunks)))
+
+
+# ---------------------------------------------------------------------------
+# maintenance utilities: reindex (crash recovery) + info
+# ---------------------------------------------------------------------------
+
+def _bag_header_record(index_pos: int, conn_count: int,
+                       chunk_count: int) -> bytes:
+    """The 4096-byte padded bag-header record (rosbag pads it so index_pos
+    can be back-patched in place)."""
+    fields = {"op": bytes([_OP_BAG_HEADER]),
+              "index_pos": struct.pack("<Q", index_pos),
+              "conn_count": struct.pack("<I", conn_count),
+              "chunk_count": struct.pack("<I", chunk_count)}
+    header = b"".join(_field(k, v) for k, v in fields.items())
+    pad = 4096 - 4 - len(header) - 4
+    return (struct.pack("<I", len(header)) + header
+            + struct.pack("<I", pad) + b" " * pad)
+
+
+def _scan_chunk_index(payload: bytes, conns, conn_raw):
+    """Collect what the chunk's regenerated index needs: per-message
+    (conn id, raw 8-byte time field, record offset in the decompressed
+    payload), registering connection records on the way. Malformed tails
+    stop cleanly (the surviving entries are still indexed)."""
+    entries: list[tuple[int, bytes, int]] = []
+    off = 0
+    n = len(payload)
+    while off + 4 <= n:
+        start = off
+        (hlen,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + hlen + 4 > n:
+            break
+        header = _parse_header(payload[off:off + hlen])
+        off += hlen
+        (dlen,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + dlen > n:
+            break
+        data = payload[off:off + dlen]
+        off += dlen
+        op = _op_of(header)
+        if (op == _OP_MESSAGE_DATA and len(header.get("conn", b"")) >= 4
+                and len(header.get("time", b"")) >= 8):
+            (cid,) = struct.unpack("<I", header["conn"][:4])
+            entries.append((cid, header["time"][:8], start))
+        elif op == _OP_CONNECTION and len(header.get("conn", b"")) >= 4:
+            (cid,) = struct.unpack("<I", header["conn"][:4])
+            _handle_connection(header, data, conns)
+            conn_raw.setdefault(cid, (header.get("topic", b""), data))
+    return entries
+
+
+def reindex(path: str, out_path: str) -> tuple[int, int]:
+    """Rebuild a damaged or crash-cut bag into a fully indexed one — the
+    `rosbag reindex` analog (the recovery step real CoBot workflows run
+    before LoadRosBag on bags cut by a crash).
+
+    Stream-rewrites in constant memory: every intact chunk record is
+    copied BYTE-FOR-BYTE (no recompression), its INDEX_DATA records are
+    regenerated from the decompressed payload, stale or partial index
+    records are dropped, and a fresh bag header + trailing index section
+    (connections + CHUNK_INFO) is written. Corrupt chunks are skipped with
+    the reader's warnings. Returns (n_chunks, n_messages)."""
+    with open(path, "rb") as f, open(path, "rb") as raw, \
+            open(out_path, "wb") as o:
+        f.seek(0, 2)
+        n = f.tell()
+        f.seek(0)
+        if f.read(len(VERSION_LINE)) != VERSION_LINE:
+            raise ValueError(
+                f"not a ROS bag v2.0 file: {path!r} (bad version line)")
+        o.write(VERSION_LINE)
+        o.write(_bag_header_record(0, 0, 0))   # back-patched below
+
+        conns: dict[int, tuple[str, str]] = {}
+        conn_raw: dict[int, tuple[bytes, bytes]] = {}
+        chunk_infos: list[bytes] = []
+        n_msgs = 0
+        prev_end = len(VERSION_LINE)
+        for header, data in _iter_records_stream(f, prev_end, n):
+            cur_end = f.tell()
+            op = _op_of(header)
+            if op == _OP_CHUNK:
+                payload = _chunk_payload(header, data)
+                if payload is not None:
+                    entries = _scan_chunk_index(payload, conns, conn_raw)
+                    chunk_pos = o.tell()
+                    raw.seek(prev_end)
+                    o.write(raw.read(cur_end - prev_end))   # verbatim copy
+                    per: dict[int, list[tuple[bytes, int]]] = {}
+                    for cid, tb, rs in entries:
+                        per.setdefault(cid, []).append((tb, rs))
+                    for cid, ents in per.items():
+                        d = b"".join(tb + struct.pack("<I", rs)
+                                     for tb, rs in ents)
+                        o.write(_record(
+                            {"op": bytes([_OP_INDEX_DATA]),
+                             "ver": struct.pack("<I", 1),
+                             "conn": struct.pack("<I", cid),
+                             "count": struct.pack("<I", len(ents))}, d))
+                    n_msgs += len(entries)
+                    stamps = sorted(struct.unpack("<II", tb)
+                                    for _, tb, _ in entries)
+                    lo = _time(0.0) if not stamps \
+                        else struct.pack("<II", *stamps[0])
+                    hi = _time(0.0) if not stamps \
+                        else struct.pack("<II", *stamps[-1])
+                    counts = b"".join(
+                        struct.pack("<II", cid, len(ents))
+                        for cid, ents in per.items())
+                    chunk_infos.append(_record(
+                        {"op": bytes([_OP_CHUNK_INFO]),
+                         "ver": struct.pack("<I", 1),
+                         "chunk_pos": struct.pack("<Q", chunk_pos),
+                         "start_time": lo, "end_time": hi,
+                         "count": struct.pack("<I", len(per))}, counts))
+            elif op == _OP_CONNECTION and len(header.get("conn", b"")) >= 4:
+                (cid,) = struct.unpack("<I", header["conn"][:4])
+                _handle_connection(header, data, conns)
+                conn_raw.setdefault(cid, (header.get("topic", b""), data))
+            # BAG_HEADER / INDEX_DATA / CHUNK_INFO / unknown: regenerated
+            # or stale — dropped
+            prev_end = cur_end
+
+        index_pos = o.tell()
+        for cid, (topic, data) in sorted(conn_raw.items()):
+            o.write(_record(
+                {"op": bytes([_OP_CONNECTION]),
+                 "conn": struct.pack("<I", cid), "topic": topic}, data))
+        for rec in chunk_infos:
+            o.write(rec)
+        o.seek(len(VERSION_LINE))
+        o.write(_bag_header_record(index_pos, len(conn_raw),
+                                   len(chunk_infos)))
+        return len(chunk_infos), n_msgs
+
+
+def bag_info(path: str) -> dict:
+    """`rosbag info` analog: topics (message counts + types), time range,
+    chunk compression breakdown, index health. One streaming pass."""
+    import os
+
+    info: dict = {"size": os.path.getsize(path), "chunks": {},
+                  "topics": {}, "types": {}, "messages": 0,
+                  "start": None, "end": None, "indexed": False}
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        n = f.tell()
+        f.seek(0)
+        if f.read(len(VERSION_LINE)) != VERSION_LINE:
+            raise ValueError(
+                f"not a ROS bag v2.0 file: {path!r} (bad version line)")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")   # health only, not diagnosis
+            info["indexed"] = _load_index(f, n) is not None
+        f.seek(len(VERSION_LINE))
+        conns: dict[int, tuple[str, str]] = {}
+        for header, data in _iter_records_stream(f, len(VERSION_LINE), n):
+            if _op_of(header) == _OP_CHUNK:
+                comp = header.get("compression",
+                                  b"none").decode(errors="replace")
+                info["chunks"][comp] = info["chunks"].get(comp, 0) + 1
+                payload = _chunk_payload(header, data)
+                if payload is None:
+                    continue
+                msgs = _chunk_messages(payload, conns, None)
+            else:
+                m = _handle_record(header, data, conns)
+                msgs = [m] if m is not None else []
+            for m in msgs:
+                info["messages"] += 1
+                info["topics"][m.topic] = info["topics"].get(m.topic, 0) + 1
+                info["types"][m.topic] = m.msgtype
+                if info["start"] is None or m.time < info["start"]:
+                    info["start"] = m.time
+                if info["end"] is None or m.time > info["end"]:
+                    info["end"] = m.time
+    return info
+
+
+def _main(argv=None) -> int:
+    """`python -m hitl_slam_tpu.io.rosbag {info,reindex}` — the rosbag
+    command-line analogs for the two operations this stack needs."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="python -m hitl_slam_tpu.io.rosbag")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pi = sub.add_parser("info", help="topics, counts, chunks, index health")
+    pi.add_argument("bag")
+    pr = sub.add_parser("reindex",
+                        help="rebuild a damaged/crash-cut bag's index")
+    pr.add_argument("bag")
+    pr.add_argument("-o", "--out", required=True)
+    args = p.parse_args(argv)
+    if args.cmd == "info":
+        info = bag_info(args.bag)
+        dur = (0.0 if info["start"] is None
+               else info["end"] - info["start"])
+        print(f"size:     {info['size']} bytes")
+        print(f"duration: {dur:.2f} s")
+        print(f"messages: {info['messages']}")
+        print(f"indexed:  {info['indexed']}")
+        print("chunks:   " + ", ".join(
+            f"{c}={k}" for c, k in sorted(info["chunks"].items())))
+        for topic in sorted(info["topics"]):
+            print(f"  {topic:30s} {info['topics'][topic]:8d}  "
+                  f"{info['types'][topic]}")
+    else:
+        n_chunks, n_msgs = reindex(args.bag, args.out)
+        print(f"reindexed {args.bag} -> {args.out}: "
+              f"{n_chunks} chunks, {n_msgs} messages")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -548,6 +548,81 @@ def test_bag_topic_filter_unindexed_fallback(stream, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# maintenance utilities: reindex + info
+# ---------------------------------------------------------------------------
+
+def test_bag_reindex_recovers_crash_cut(stream, tmp_path, monkeypatch):
+    """reindex on a crash-cut bag yields a fully indexed bag: identical
+    messages, chunk bytes copied verbatim (compression preserved), and the
+    rebuilt index actually drives chunk skipping."""
+    msgs = _noisy_bag_messages(stream)
+    # camera-only chunks at the head AND tail, robot chunks in the middle:
+    # the crash cut eats tail cameras; the filtered read must still skip
+    # the surviving head cameras while decompressing the robot chunks
+    cams = [m for m in msgs if m[0] == "/camera/image"]
+    robots = [m for m in msgs if m[0] != "/camera/image"]
+    msgs = cams[: len(cams) // 2] + robots + cams[len(cams) // 2:]
+    path = str(tmp_path / "full.bag")
+    rb.write_bag(path, msgs, compression="bz2", chunk_size=32768)
+    blob = open(path, "rb").read()
+    cut = str(tmp_path / "cut.bag")
+    open(cut, "wb").write(blob[: int(len(blob) * 0.9)])   # inside a chunk
+
+    out = str(tmp_path / "fixed.bag")
+    with pytest.warns(UserWarning, match="truncated"):
+        n_chunks, n_msgs = rb.reindex(cut, out)
+    assert n_chunks > 1 and n_msgs > 0
+
+    with pytest.warns(UserWarning, match="truncated"):
+        cut_msgs = [(m.topic, m.time, m.raw)
+                    for m in rb.read_messages(cut)]
+    fixed_msgs = [(m.topic, m.time, m.raw) for m in rb.read_messages(out)]
+    assert fixed_msgs == cut_msgs
+    assert len(fixed_msgs) == n_msgs
+
+    info = rb.bag_info(out)
+    assert info["indexed"] and info["chunks"] == {"bz2": n_chunks}
+
+    # the rebuilt index skips the camera chunks without decompression
+    calls = {"n": 0}
+    real = rb._chunk_payload
+
+    def counting(header, data):
+        calls["n"] += 1
+        return real(header, data)
+
+    monkeypatch.setattr(rb, "_chunk_payload", counting)
+    want = ("laser", "/Cobot/Odometry")
+    got = list(rb.read_messages(out, topics=want))
+    assert 0 < calls["n"] < n_chunks
+    assert [(m.topic, m.time, m.raw) for m in got] == \
+        [m for m in fixed_msgs if m[0] in want]
+
+
+def test_bag_info_and_cli(stream, tmp_path, capsys):
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    path = str(tmp_path / "info.bag")
+    rb.write_bag(path, msgs, compression="mixed", chunk_size=8192)
+    info = rb.bag_info(path)
+    assert info["messages"] == len(msgs)
+    assert info["topics"]["laser"] == len(scans)
+    assert info["types"]["laser"] == "sensor_msgs/LaserScan"
+    assert info["indexed"]
+    assert info["end"] >= info["start"]
+    assert sum(info["chunks"].values()) > 2
+
+    assert rb._main(["info", path]) == 0
+    out = capsys.readouterr().out
+    assert "laser" in out and f"messages: {len(msgs)}" in out
+
+    fixed = str(tmp_path / "re.bag")
+    assert rb._main(["reindex", path, "-o", fixed]) == 0
+    assert [(m.topic, m.raw) for m in rb.read_messages(fixed)] == \
+        [(m.topic, m.raw) for m in rb.read_messages(path)]
+
+
+# ---------------------------------------------------------------------------
 # lz4 chunk compression (roslz4 wire format)
 # ---------------------------------------------------------------------------
 
