@@ -65,7 +65,55 @@ def build_parser():
     p.add_argument("--scan-period", type=float, default=0.05,
                    help="seconds between scans, for the realtime factor "
                         "(the reference reads it from bag timestamps)")
+    p.add_argument("--online", action="store_true",
+                   help="producer/consumer live mode (the reference's "
+                        "SensorUpdate/OdometryUpdate path, vector_mapping"
+                        ".cpp:2913-2933): stream messages through the "
+                        "background localizer thread instead of batch "
+                        "solving; writes <output>.poses + <output>.stfs")
+    p.add_argument("--rate", type=float, default=0.0, metavar="X",
+                   help="with --online: pace the stream at X times "
+                        "realtime (0 = as fast as possible)")
     return p
+
+
+def _run_online(args, scans, angles, rel, opts, ep_opts) -> int:
+    """Replay the stream through the OnlineLocalizer's producer/consumer
+    protocol and save the live trajectory."""
+    from .io.stfs import save_results_poses, save_stfs
+    from .models.enml.online import OnlineLocalizer
+
+    ol = OnlineLocalizer(episode_options=ep_opts, enml_options=opts)
+    ol.start()
+    t0 = time.perf_counter()
+    period = args.scan_period / args.rate if args.rate > 0 else 0.0
+    try:
+        for i in range(len(scans)):
+            if i > 0:
+                ol.odometry_update(*[float(v) for v in rel[i]])
+            ol.sensor_update(np.asarray(scans[i]), np.asarray(angles))
+            if period:
+                time.sleep(period)
+        ol.drain(timeout=120.0)
+    finally:
+        ol.stop()
+    dt = time.perf_counter() - t0
+    n = ol.node_count()
+    if n == 0:
+        print("online: no episode nodes created (stream too short or "
+              "all scans empty)", file=sys.stderr)
+        return 1
+    poses = np.stack(ol.poses)
+    save_results_poses(args.output + ".poses", poses)
+    save_stfs(args.output + ".stfs", args.map_name, time.time(),
+              poses, ol.clouds)
+    rtf = (len(scans) * args.scan_period) / max(dt, 1e-9)
+    x, y, th = ol.pose()
+    print(f"online: {n} episode nodes localized live in {dt:.2f}s "
+          f"({rtf:.1f}x realtime at {1 / args.scan_period:.0f} Hz scans); "
+          f"final pose ({x:.3f}, {y:.3f}, {th:.3f}); "
+          f"wrote {args.output}.poses and {args.output}.stfs")
+    return 0
 
 
 def _load_stream(args):
@@ -202,6 +250,18 @@ def main(argv=None) -> int:
               f"Hz scans); consistency {before:.4f} -> {after:.4f}; "
               f"wrote {args.output + tag}.stfs.covars")
         return new_poses
+
+    if args.online:
+        if args.statistical_test > 0 or args.parallel_windows:
+            raise SystemExit("ERROR: --online is incompatible with "
+                             "--statistical-test/--parallel-windows")
+        if args.noise > 0:
+            rng = np.random.default_rng(args.seed)
+            rel = rel.copy()
+            for i in range(len(rel)):
+                rel[i] = apply_noise_model(
+                    *[float(v) for v in rel[i]], args.noise, rng)
+        return _run_online(args, scans, angles, rel, opts, ep_opts)
 
     if args.statistical_test > 0:
         rng = np.random.default_rng(args.seed)

@@ -112,6 +112,29 @@ def test_online_localizer(stream):
         loc.stop()
 
 
+def test_cli_enml_online_mode(tmp_path):
+    """--online replays the stream through the producer/consumer localizer
+    (the reference's SensorUpdate/OdometryUpdate deployment path) and saves
+    the live trajectory (.poses + covariance-free .stfs)."""
+    from hitl_slam_tpu import cli_enml
+
+    out = str(tmp_path / "live")
+    rc = cli_enml.main(["--synthetic", "--steps", "48", "--online",
+                        "-o", out, "--max-history", "6"])
+    assert rc == 0
+    poses = np.loadtxt(out + ".poses")
+    assert poses.ndim == 2 and poses.shape[1] == 3 and len(poses) > 5
+    assert np.isfinite(poses).all()
+    lines = open(out + ".stfs").read().splitlines()
+    assert lines[0] == "EnML" and len(lines) > 10 * len(poses)
+    # incompatible-mode guard
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="incompatible"):
+        cli_enml.main(["--synthetic", "--steps", "8", "--online",
+                       "--parallel-windows", "-o", out])
+
+
 def test_engine_cost_breakdown(episodes):
     from hitl_slam_tpu.models.hitl.engine import HitLSLAM
 
