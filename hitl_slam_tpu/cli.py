@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantics; needed on heavily re-traversed maps), "
                         "'auto' falls back global->pair when the global "
                         "matcher yields zero gated bundles")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the whole session "
+                        "into DIR (device timeline + host events; open with "
+                        "TensorBoard/xprof — the FunctionTimer/Ceres-report "
+                        "analog at device granularity, SURVEY §5)")
     return p
 
 
@@ -126,7 +131,19 @@ def _run_test_mode(port: int) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        from .utils.timing import device_trace
 
+        with device_trace("hitl-session", enabled=True,
+                          logdir=args.profile):
+            rc = _main_impl(args)
+        print(f"profiler trace written to {args.profile} "
+              "(open with TensorBoard)")
+        return rc
+    return _main_impl(args)
+
+
+def _main_impl(args) -> int:
     if args.test_mode:
         return _run_test_mode(args.gui_port)
     if not args.pose_graph:

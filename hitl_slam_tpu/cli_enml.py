@@ -74,6 +74,9 @@ def build_parser():
     p.add_argument("--rate", type=float, default=0.0, metavar="X",
                    help="with --online: pace the stream at X times "
                         "realtime (0 = as fast as possible)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(device timeline; open with TensorBoard/xprof)")
     return p
 
 
@@ -155,6 +158,18 @@ def _load_stream(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        from .utils.timing import device_trace
+
+        with device_trace("enml-run", enabled=True, logdir=args.profile):
+            rc = _main_impl(args)
+        print(f"profiler trace written to {args.profile} "
+              "(open with TensorBoard)")
+        return rc
+    return _main_impl(args)
+
+
+def _main_impl(args) -> int:
     from .models.enml.driver import (
         EpisodeOptions,
         apply_noise_model,

@@ -50,6 +50,22 @@ def test_cli_replay_all(session_files, capsys):
             assert f.read(8) == b"\x89PNG\r\n\x1a\n"
 
 
+def test_cli_profile_trace(session_files, tmp_path, capsys):
+    """--profile captures a jax.profiler trace of the whole session
+    (SURVEY §5 tracing analog): TensorBoard-loadable artifacts on disk."""
+    from hitl_slam_tpu.cli import main
+
+    graph, log, d = session_files
+    prof = str(tmp_path / "prof")
+    rc = main(["-P", graph, "-L", log, "-V", str(tmp_path / "r.txt"),
+               "--replay-all", "--profile", prof])
+    assert rc == 0
+    assert "profiler trace written" in capsys.readouterr().out
+    import glob
+
+    assert glob.glob(prof + "/plugins/profile/*/*.xplane.pb")
+
+
 def test_cli_auto_repair(tmp_path, capsys):
     """--auto-repair N runs headless propose-and-apply rounds; at least one
     machine correction lands on a drifted two-lap map and results save."""
