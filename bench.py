@@ -456,7 +456,7 @@ def main():
     # ---- config-scale EnML (max_history=80, grid-matcher windows) ----
     enml_w80_ms = -1.0
     try:
-        if not extras_ok or smoke:
+        if not extras_ok() or smoke:
             raise TimeoutError('budget')
         w80 = EnmlOptions(max_history=80)
         out80 = checkerboard_localize(est.points, est.normals,
@@ -475,7 +475,7 @@ def main():
     # vector_mapping.cpp:2724's 40000-iteration cap) ----
     enml_scale = {}
     try:
-        if not extras_ok or smoke:
+        if not extras_ok() or smoke:
             raise TimeoutError('budget')
         # 2600 raw steps -> >=1024 episode nodes after keyframe selection
         # (VERDICT r3 item 3: reference-scale, no silent shrinking)
@@ -546,7 +546,7 @@ def main():
     # poses (VERDICT r3 item 3) ----
     hitl8192 = {}
     try:
-        if not extras_ok or smoke:
+        if not extras_ok() or smoke:
             raise TimeoutError('budget')
         P8 = 8192
         m8 = generate_figure8(num_poses=P8, num_rays=40, seed=13,
@@ -714,6 +714,44 @@ def main():
     except Exception as e:
         import sys; print(f'[bench] post-optimize skipped: {e}', file=sys.stderr)
 
+    # ---- device memory high-water mark + data-loader throughput ----
+    hbm_peak_mb = -1.0
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            hbm_peak_mb = stats["peak_bytes_in_use"] / 2**20
+    except Exception:
+        pass
+    bag_ingest_mb_s = -1.0
+    try:
+        if not extras_ok():
+            raise TimeoutError('budget')
+        import tempfile
+
+        from hitl_slam_tpu.io import rosbag as _rb
+        from hitl_slam_tpu.io.figure8 import generate_raw_stream as _grs
+
+        _sc, _an, _rel, _gt, _w = _grs(num_steps=64, num_rays=720, seed=3)
+        _msgs = []
+        for _i in range(len(_sc)):
+            _msgs.append(("laser", "sensor_msgs/LaserScan", 100.0 + _i,
+                          _rb.serialize_laser_scan(_sc[_i], float(_an[0]),
+                                                   float(_an[1] - _an[0]))))
+        _msgs *= 20   # ~8 MB of scan payload
+        with tempfile.TemporaryDirectory() as _d:
+            _bp = _d + "/ingest.bag"
+            _rb.write_bag(_bp, _msgs, chunk_size=1 << 20)
+            import os as _os
+            _sz = _os.path.getsize(_bp)
+            t0 = time.perf_counter()
+            _n = sum(1 for _ in _rb.read_messages(_bp))
+            dt = time.perf_counter() - t0
+            assert _n == len(_msgs)
+            bag_ingest_mb_s = _sz / 2**20 / max(dt, 1e-9)
+    except Exception as e:
+        import sys; print(f'[bench] bag-ingest extra skipped: {e}',
+                          file=sys.stderr)
+
     last = accepted[-1]
     # HEADLINE = the device-resident pipelined cycle: the SAME full fused
     # repair cycle (EM sweep + explicit + backprop + LM joint solve),
@@ -757,6 +795,8 @@ def main():
             "lm_iterations": [r.lm_iterations for r in accepted],
             "final_costs": [r.final_cost for r in accepted],
             "num_constraints": int(np.asarray(tbl.active).sum()),
+            "hbm_peak_mb": round(hbm_peak_mb, 1),
+            "bag_ingest_mb_s": round(bag_ingest_mb_s, 1),
             "pipelined_cycle_ms": round(pipelined_ms, 2),
             "device_cycle_ms": round(device_cycle_ms, 2),
             "interactive_cycle_ms": round(tpu_ms, 2),
