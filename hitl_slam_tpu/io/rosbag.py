@@ -23,7 +23,9 @@ nav_msgs/Odometry is differenced against the pose at the previous laser node
 the running relative frame (:1256-1263). The writer emits spec-complete
 bags with the real rosbag record layout (per-chunk connection records,
 INDEX_DATA after each chunk, trailing connection + CHUNK_INFO index section,
-index_pos back-patched; none/bz2/mixed chunk compression, chunk splitting).
+index_pos back-patched; none/bz2/lz4/mixed chunk compression, chunk
+splitting). Maintenance utilities: `reindex` (crash recovery) + `bag_info`,
+exposed as `python -m hitl_slam_tpu.io.rosbag {info,reindex}`.
 
 Robustness (real-world quirks, adversarially tested in test_rosbag.py):
 truncated tails stop cleanly with a warning; corrupt bz2 chunks, malformed
