@@ -90,28 +90,41 @@ def _run_online(args, scans, angles, rel, opts, ep_opts) -> int:
     ol.start()
     t0 = time.perf_counter()
     period = args.scan_period / args.rate if args.rate > 0 else 0.0
+    flushed = False
     try:
         for i in range(len(scans)):
-            if i > 0:
+            if i == 0:
+                # driver convention: rel[0] is the absolute start pose
+                # (set_location-anchored bags; apply_set_locations row 0)
+                if np.any(np.asarray(rel[0])):
+                    ol.set_location(*[float(v) for v in rel[0]])
+            else:
                 ol.odometry_update(*[float(v) for v in rel[i]])
             ol.sensor_update(np.asarray(scans[i]), np.asarray(angles))
             if period:
                 time.sleep(period)
-        ol.drain(timeout=120.0)
+        # real completion barrier (drain() returns while the final window
+        # solve is still in flight; a cold first compile can take minutes)
+        flushed = ol.flush(timeout=1800.0)
+        poses_list, clouds, _normals = ol.snapshot()
     finally:
         ol.stop()
     dt = time.perf_counter() - t0
-    n = ol.node_count()
+    if not flushed:
+        print("online: localizer did not finish within 30 min; "
+              "aborting without writing outputs", file=sys.stderr)
+        return 1
+    n = len(poses_list)
     if n == 0:
         print("online: no episode nodes created (stream too short or "
               "all scans empty)", file=sys.stderr)
         return 1
-    poses = np.stack(ol.poses)
+    poses = np.stack(poses_list)
     save_results_poses(args.output + ".poses", poses)
     save_stfs(args.output + ".stfs", args.map_name, time.time(),
-              poses, ol.clouds)
+              poses, clouds)
     rtf = (len(scans) * args.scan_period) / max(dt, 1e-9)
-    x, y, th = ol.pose()
+    x, y, th = poses[-1]
     print(f"online: {n} episode nodes localized live in {dt:.2f}s "
           f"({rtf:.1f}x realtime at {1 / args.scan_period:.0f} Hz scans); "
           f"final pose ({x:.3f}, {y:.3f}, {th:.3f}); "

@@ -90,14 +90,16 @@ def _emit(damage, msg: str) -> None:
 
 
 def _iter_records_stream(f, off: int, n: int, where: str = "bag",
-                         damage=None):
-    """Yield (header, data) records from a file-like positioned at `off`
-    (absolute offsets; n = total size, so in-memory and streaming callers
-    produce identical diagnostics on the same bytes). A TRUNCATED tail
-    (crash-cut bag, the most common real-world quirk — rosbag ships a
-    reindex tool for exactly this) stops iteration cleanly with a warning
-    instead of raising."""
+                         damage=None, yield_offsets: bool = False):
+    """Yield (header, data) records — or (record_start, header, data) with
+    yield_offsets=True — from a file-like positioned at `off` (absolute
+    offsets; n = total size, so in-memory and streaming callers produce
+    identical diagnostics on the same bytes). A TRUNCATED tail (crash-cut
+    bag, the most common real-world quirk — rosbag ships a reindex tool
+    for exactly this) stops iteration cleanly with a warning instead of
+    raising."""
     while off + 4 <= n:
+        rec_start = off
         (hlen,) = struct.unpack("<I", f.read(4))
         off += 4
         if off + hlen + 4 > n:
@@ -114,16 +116,18 @@ def _iter_records_stream(f, off: int, n: int, where: str = "bag",
             return
         data = f.read(dlen)
         off += dlen
-        yield header, data
+        yield (rec_start, header, data) if yield_offsets else (header, data)
     if off != n and n - off >= 1:
         _emit(damage, f"{n - off} trailing bytes in {where} ignored")
 
 
-def _iter_records(buf: bytes, off: int = 0, where: str = "bag"):
+def _iter_records(buf: bytes, off: int = 0, where: str = "bag",
+                  yield_offsets: bool = False):
     """In-memory wrapper over _iter_records_stream (chunk payloads)."""
     f = io.BytesIO(buf)
     f.seek(off)
-    yield from _iter_records_stream(f, off, len(buf), where)
+    yield from _iter_records_stream(f, off, len(buf), where,
+                                    yield_offsets=yield_offsets)
 
 
 @dataclass
@@ -841,24 +845,11 @@ def _scan_chunk_index(payload: bytes, conns, conn_raw):
     """Collect what the chunk's regenerated index needs: per-message
     (conn id, raw 8-byte time field, record offset in the decompressed
     payload), registering connection records on the way. Malformed tails
-    stop cleanly (the surviving entries are still indexed)."""
+    warn through the shared framing iterator (the surviving entries are
+    still indexed)."""
     entries: list[tuple[int, bytes, int]] = []
-    off = 0
-    n = len(payload)
-    while off + 4 <= n:
-        start = off
-        (hlen,) = struct.unpack_from("<I", payload, off)
-        off += 4
-        if off + hlen + 4 > n:
-            break
-        header = _parse_header(payload[off:off + hlen])
-        off += hlen
-        (dlen,) = struct.unpack_from("<I", payload, off)
-        off += 4
-        if off + dlen > n:
-            break
-        data = payload[off:off + dlen]
-        off += dlen
+    for start, header, data in _iter_records(payload, where="chunk",
+                                             yield_offsets=True):
         op = _op_of(header)
         if (op == _OP_MESSAGE_DATA and len(header.get("conn", b"")) >= 4
                 and len(header.get("time", b"")) >= 8):
@@ -881,9 +872,24 @@ def reindex(path: str, out_path: str) -> tuple[int, int]:
     regenerated from the decompressed payload, stale or partial index
     records are dropped, and a fresh bag header + trailing index section
     (connections + CHUNK_INFO) is written. Corrupt chunks are skipped with
-    the reader's warnings. Returns (n_chunks, n_messages)."""
+    the reader's warnings; out-of-spec TOP-LEVEL message records are
+    preserved verbatim (readable by the linear scan, not indexed), with a
+    warning. out_path == path reindexes IN PLACE like rosbag's own tool:
+    the rewrite goes to a temp file, the original is kept as
+    `<path>.orig`, and the result replaces `path` atomically. Returns
+    (n_chunks, n_messages)."""
+    import os
+
+    # validate BEFORE opening the output: with out_path == path, opening
+    # 'wb' first would truncate the (by definition precious) input
+    with open(path, "rb") as probe:
+        if probe.read(len(VERSION_LINE)) != VERSION_LINE:
+            raise ValueError(
+                f"not a ROS bag v2.0 file: {path!r} (bad version line)")
+    in_place = os.path.exists(out_path) and os.path.samefile(path, out_path)
+    tmp_path = out_path + ".reindex.tmp" if in_place else out_path
     with open(path, "rb") as f, open(path, "rb") as raw, \
-            open(out_path, "wb") as o:
+            open(tmp_path, "wb") as o:
         f.seek(0, 2)
         n = f.tell()
         f.seek(0)
@@ -939,6 +945,14 @@ def reindex(path: str, out_path: str) -> tuple[int, int]:
                 (cid,) = struct.unpack("<I", header["conn"][:4])
                 _handle_connection(header, data, conns)
                 conn_raw.setdefault(cid, (header.get("topic", b""), data))
+            elif op == _OP_MESSAGE_DATA:
+                # out-of-spec but readable: preserve verbatim so no data
+                # is lost (the linear scan yields it; indexes can't)
+                warnings.warn("top-level message record preserved "
+                              "verbatim (unindexed)")
+                raw.seek(prev_end)
+                o.write(raw.read(cur_end - prev_end))
+                n_msgs += 1
             # BAG_HEADER / INDEX_DATA / CHUNK_INFO / unknown: regenerated
             # or stale — dropped
             prev_end = cur_end
@@ -953,7 +967,10 @@ def reindex(path: str, out_path: str) -> tuple[int, int]:
         o.seek(len(VERSION_LINE))
         o.write(_bag_header_record(index_pos, len(conn_raw),
                                    len(chunk_infos)))
-        return len(chunk_infos), n_msgs
+    if in_place:
+        os.replace(path, path + ".orig")
+        os.replace(tmp_path, path)
+    return len(chunk_infos), n_msgs
 
 
 def bag_info(path: str) -> dict:
@@ -975,6 +992,9 @@ def bag_info(path: str) -> dict:
             warnings.simplefilter("ignore")   # health only, not diagnosis
             info["indexed"] = _load_index(f, n) is not None
         f.seek(len(VERSION_LINE))
+        from .. import native
+
+        scan = native.scan_bag_records if native.bag_available() else None
         conns: dict[int, tuple[str, str]] = {}
         for header, data in _iter_records_stream(f, len(VERSION_LINE), n):
             if _op_of(header) == _OP_CHUNK:
@@ -984,7 +1004,7 @@ def bag_info(path: str) -> dict:
                 payload = _chunk_payload(header, data)
                 if payload is None:
                     continue
-                msgs = _chunk_messages(payload, conns, None)
+                msgs = _chunk_messages(payload, conns, scan)
             else:
                 m = _handle_record(header, data, conns)
                 msgs = [m] if m is not None else []

@@ -35,6 +35,11 @@ class _OdometryMsg:
     rel: np.ndarray   # (dx, dy, dtheta) since last message
 
 
+@dataclass
+class _SetLocationMsg:
+    pose: np.ndarray  # absolute (x, y, theta) map-frame reset
+
+
 class OnlineLocalizer:
     """Feed odometry_update()/sensor_update() from callbacks; read pose()."""
 
@@ -63,6 +68,12 @@ class OnlineLocalizer:
     def sensor_update(self, ranges: np.ndarray, angles: np.ndarray):
         self._queue.put(_SensorMsg(np.asarray(ranges), np.asarray(angles)))
 
+    def set_location(self, x: float, y: float, theta: float):
+        """Re-localization event (the reference's LoadSetLocationMessage):
+        resets the integrated pose to the given map-frame pose and clears
+        the accumulated odometry, in stream order."""
+        self._queue.put(_SetLocationMsg(np.array([x, y, theta])))
+
     def pose(self) -> np.ndarray:
         """Latest pose estimate (thread safe)."""
         with self._lock:
@@ -71,6 +82,13 @@ class OnlineLocalizer:
     def node_count(self) -> int:
         with self._lock:
             return len(self.poses)
+
+    def snapshot(self):
+        """Consistent copy of (poses, clouds, normals) under the lock —
+        the only safe way to read the trajectory while the worker runs."""
+        with self._lock:
+            return ([p.copy() for p in self.poses], list(self.clouds),
+                    list(self.normals))
 
     # -- consumer side --------------------------------------------------------
 
@@ -85,12 +103,22 @@ class OnlineLocalizer:
             self._thread.join(timeout=10)
 
     def drain(self, timeout: float = 5.0):
-        """Block until the queue is empty (for tests/synchronous use)."""
+        """Block until the queue is empty. NOTE: the worker pops a message
+        BEFORE processing it, so an empty queue does not mean the last
+        window solve finished — use flush() for a real completion barrier."""
         import time
 
         t0 = time.time()
         while not self._queue.empty() and time.time() - t0 < timeout:
             time.sleep(0.01)
+
+    def flush(self, timeout: float | None = None) -> bool:
+        """Completion barrier: returns True once the worker has PROCESSED
+        every message enqueued before this call (including the device solve
+        of the final window), False on timeout."""
+        ev = threading.Event()
+        self._queue.put(ev)
+        return ev.wait(timeout)
 
     def _run(self):
         while not self._stop.is_set():
@@ -101,6 +129,12 @@ class OnlineLocalizer:
                 self._integrate_odometry(msg.rel)
             elif isinstance(msg, _SensorMsg):
                 self._maybe_add_node(msg)
+            elif isinstance(msg, _SetLocationMsg):
+                with self._lock:
+                    self._pose = msg.pose.astype(np.float64).copy()
+                self._acc[:] = 0.0
+            elif isinstance(msg, threading.Event):
+                msg.set()   # flush barrier
 
     def _integrate_odometry(self, rel):
         c, s = np.cos(self._acc[2]), np.sin(self._acc[2])

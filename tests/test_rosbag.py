@@ -599,6 +599,73 @@ def test_bag_reindex_recovers_crash_cut(stream, tmp_path, monkeypatch):
         [m for m in fixed_msgs if m[0] in want]
 
 
+def test_bag_reindex_in_place_and_guards(stream, tmp_path):
+    """In-place reindex keeps a .orig backup (rosbag-reindex semantics);
+    a non-bag input raises WITHOUT touching any output file; top-level
+    message records are preserved verbatim."""
+    import os
+    import struct
+
+    scans, angles, rel, gt, walls = stream
+    msgs = _cobot_bag_messages(scans, angles, rel)[:40]
+    path = str(tmp_path / "a.bag")
+    rb.write_bag(path, msgs, chunk_size=8192)
+    before = [(m.topic, m.time, m.raw) for m in rb.read_messages(path)]
+    orig_bytes = open(path, "rb").read()
+
+    n_chunks, n_msgs = rb.reindex(path, path)    # in place
+    assert os.path.exists(path + ".orig")
+    assert open(path + ".orig", "rb").read() == orig_bytes
+    after = [(m.topic, m.time, m.raw) for m in rb.read_messages(path)]
+    assert after == before and n_msgs == len(before)
+    assert not os.path.exists(path + ".reindex.tmp")
+
+    # non-bag input: raises, and the input survives untouched even as out
+    garbage = str(tmp_path / "junk.bag")
+    open(garbage, "wb").write(b"not a bag at all")
+    with pytest.raises(ValueError, match="version line"):
+        rb.reindex(garbage, garbage)
+    assert open(garbage, "rb").read() == b"not a bag at all"
+
+    # top-level (unchunked) message records survive a reindex
+    top = rb._record(
+        {"op": bytes([0x02]), "conn": struct.pack("<I", 0),
+         "time": rb._time(999.0)}, b"toplevel-payload")
+    open(path, "ab").write(top)
+    out2 = str(tmp_path / "b.bag")
+    with pytest.warns(UserWarning, match="top-level message record"):
+        _, n2 = rb.reindex(path, out2)
+    assert n2 == len(before) + 1
+    msgs2 = list(rb.read_messages(out2))
+    assert msgs2[-1].raw == b"toplevel-payload"
+
+
+def test_online_localizer_set_location_and_flush(stream):
+    from hitl_slam_tpu.models.enml.driver import EpisodeOptions
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions
+    from hitl_slam_tpu.models.enml.online import OnlineLocalizer
+
+    scans, angles, rel, gt, walls = stream
+    loc = OnlineLocalizer(
+        EpisodeOptions(clip_low=10, clip_high=10),
+        EnmlOptions(max_history=6, gn_iterations=2, match_rounds=1),
+    )
+    loc.start()
+    try:
+        loc.set_location(3.0, -2.0, 0.5)
+        for i in range(12):
+            if i:
+                loc.odometry_update(*[float(v) for v in rel[i]])
+            loc.sensor_update(scans[i], angles)
+        assert loc.flush(timeout=300.0)   # real completion barrier
+        poses, clouds, normals = loc.snapshot()
+        assert len(poses) == len(clouds) == len(normals) > 0
+        # first node anchors exactly at the set_location pose
+        np.testing.assert_allclose(poses[0], [3.0, -2.0, 0.5], atol=1e-6)
+    finally:
+        loc.stop()
+
+
 def test_bag_info_and_cli(stream, tmp_path, capsys):
     scans, angles, rel, gt, walls = stream
     msgs = _cobot_bag_messages(scans, angles, rel)
