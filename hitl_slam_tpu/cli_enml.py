@@ -27,6 +27,11 @@ def build_parser():
                    help="stop after this many laser messages (bag input)")
     p.add_argument("--time-skip", type=float, default=0.0,
                    help="seconds of bag to skip from the start")
+    p.add_argument("--use-kinect", action="store_true",
+                   help="subscribe /Cobot/Kinect/Scan instead of the lidar "
+                        "topics (the reference's use_kinect mode — exactly "
+                        "one scanner is ever subscribed, "
+                        "vector_mapping_main.cpp:1366-1372)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic figure-8 stream instead")
     p.add_argument("--steps", type=int, default=256)
@@ -140,12 +145,13 @@ def _load_stream(args):
             num_steps=args.steps, seed=args.seed)
         return list(scans), angles, rel
     if args.bag.endswith(".bag"):
-        from .io.rosbag import bag_to_stream
+        from .io.rosbag import KINECT_TOPIC, bag_to_stream
 
         try:
             scans, angles, rel, set_loc = bag_to_stream(
                 args.bag, max_laser_msgs=args.max_laser_poses,
-                time_skip=args.time_skip)
+                time_skip=args.time_skip,
+                laser_topics=(KINECT_TOPIC,) if args.use_kinect else None)
         except (ValueError, OSError) as e:
             raise SystemExit(f"ERROR: {e}")
         if set_loc:

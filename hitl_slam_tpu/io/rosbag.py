@@ -12,7 +12,8 @@ Supported message types (hand-rolled little-endian deserializers, layouts
 from the .msg definitions in /root/reference/vector_slam_msgs/msg and the
 ROS common_msgs):
 
-  sensor_msgs/LaserScan            topics laser, /Cobot/Laser, kinect_scan
+  sensor_msgs/LaserScan            topics laser, /Cobot/Laser,
+                                   /Cobot/Kinect/Scan (use_kinect mode)
   nav_msgs/Odometry                topic  odom        (standardized bags)
   vector_slam_msgs/CobotOdometryMsg topic /Cobot/Odometry (dr,dx,dy deltas)
   vector_slam_msgs/LocalizationMsg  topic set_location
@@ -52,7 +53,12 @@ _OP_CHUNK_INFO = 0x06
 
 VERSION_LINE = b"#ROSBAG V2.0\n"
 
-LASER_TOPICS = ("laser", "/Cobot/Laser", "kinect_scan")
+# default laser subscription: standardized + CoBot scanner (the reference
+# subscribes exactly ONE of laser / /Cobot/Laser / kinect, chosen by
+# kStandardizedData / use_kinect_, vector_mapping_main.cpp:196-210,
+# 1359-1373 — merging kinect with the lidar would double-ingest)
+LASER_TOPICS = ("laser", "/Cobot/Laser")
+KINECT_TOPIC = "/Cobot/Kinect/Scan"   # vector_mapping_main.cpp:199
 ODOM_TOPIC_STD = "odom"
 ODOM_TOPIC_COBOT = "/Cobot/Odometry"
 SET_LOCATION_TOPIC = "set_location"
@@ -477,7 +483,7 @@ def parse_localization(raw: bytes):
 # ---------------------------------------------------------------------------
 
 def bag_to_stream(path: str, max_laser_msgs: int | None = None,
-                  time_skip: float = 0.0):
+                  time_skip: float = 0.0, laser_topics=None):
     """Convert a bag into the EnML driver's raw-stream arrays.
 
     Returns (scans [T,R] f32, angles [R] f32, rel_odometry [T,3] f32,
@@ -489,8 +495,12 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
     Subscribes only the reference's topic set (rosbag::View + TopicQuery,
     vector_mapping_main.cpp:1359-1378): on indexed real bags, chunks that
     carry only other topics (camera images dominate robot bags) are never
-    read or decompressed.
+    read or decompressed. laser_topics selects the scan source (default
+    LASER_TOPICS = standardized + CoBot lidar; pass (KINECT_TOPIC,) for
+    the reference's use_kinect mode — it subscribes exactly one scanner).
     """
+    if laser_topics is None:
+        laser_topics = LASER_TOPICS
     scans: list[np.ndarray] = []
     rels: list[np.ndarray] = []
     angles = None
@@ -506,7 +516,7 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
     rel_ang = 0.0
 
     skipped = 0
-    wanted = (*LASER_TOPICS, ODOM_TOPIC_STD, ODOM_TOPIC_COBOT,
+    wanted = (*laser_topics, ODOM_TOPIC_STD, ODOM_TOPIC_COBOT,
               SET_LOCATION_TOPIC)
     for msg in read_messages(path, topics=wanted):
         if t0 is None:
@@ -514,7 +524,7 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
         if msg.time - t0 < time_skip:
             continue
         if msg.msgtype == "sensor_msgs/LaserScan" and (
-                msg.topic in LASER_TOPICS):
+                msg.topic in laser_topics):
             try:
                 scan = parse_laser_scan(msg.raw)
             except (struct.error, ValueError):
@@ -587,8 +597,10 @@ def bag_to_stream(path: str, max_laser_msgs: int | None = None,
         warnings.warn(f"{skipped} malformed/mismatched messages skipped "
                       f"in {path!r}")
     if not scans:
+        hint = ("; a Kinect-only bag needs --use-kinect"
+                if KINECT_TOPIC not in laser_topics else "")
         raise ValueError(f"no laser scans found in {path!r} "
-                         f"(looked for topics {LASER_TOPICS})")
+                         f"(looked for topics {tuple(laser_topics)}{hint})")
     scans_arr = np.stack(scans).astype(np.float32)
     rel_arr = np.stack(rels).astype(np.float32)
     # invalid returns (non-finite, or outside the SCANNER's [range_min,

@@ -599,6 +599,43 @@ def test_bag_reindex_recovers_crash_cut(stream, tmp_path, monkeypatch):
         [m for m in fixed_msgs if m[0] in want]
 
 
+def test_bag_laser_topic_selection(stream, tmp_path):
+    """The reference subscribes exactly ONE scanner (use_kinect picks
+    /Cobot/Kinect/Scan, else the lidar): a bag carrying BOTH must not
+    double-ingest, and kinect-only bags need the explicit flag."""
+    scans, angles, rel, gt, walls = stream
+    inc = float(angles[1] - angles[0])
+    msgs = _cobot_bag_messages(scans, angles, rel)
+    # interleave kinect scans (half resolution) on their own topic
+    lasers = [m for m in msgs if m[0] == "laser"]
+    kin = [(rb.KINECT_TOPIC, "sensor_msgs/LaserScan", m[2] + 0.002,
+            rb.serialize_laser_scan(scans[i][::2], float(angles[0]),
+                                    inc * 2, range_max=13.0))
+           for i, m in enumerate(lasers)]
+    path = str(tmp_path / "both.bag")
+    rb.write_bag(path, sorted(msgs + kin, key=lambda m: m[2]))
+
+    out, out_angles, out_rel, _ = rb.bag_to_stream(path)
+    assert out.shape == (len(scans), len(angles))       # lidar only
+    kin_out, kin_angles, _, _ = rb.bag_to_stream(
+        path, laser_topics=(rb.KINECT_TOPIC,))
+    assert kin_out.shape == (len(scans), len(angles[::2]))  # kinect only
+
+    # kinect+odometry bag without the flag: clean error with a hint
+    kpath = str(tmp_path / "kin.bag")
+    odo = [m for m in msgs if m[0] == "/Cobot/Odometry"]
+    rb.write_bag(kpath, sorted(kin + odo, key=lambda m: m[2]))
+    with pytest.raises(ValueError, match="use-kinect"):
+        rb.bag_to_stream(kpath)
+
+    from hitl_slam_tpu import cli_enml
+
+    o = str(tmp_path / "kout")
+    rc = cli_enml.main(["-b", kpath, "--use-kinect", "-o", o,
+                        "--max-history", "6"])
+    assert rc == 0
+
+
 def test_bag_reindex_in_place_and_guards(stream, tmp_path):
     """In-place reindex keeps a .orig backup (rosbag-reindex semantics);
     a non-bag input raises WITHOUT touching any output file; top-level
