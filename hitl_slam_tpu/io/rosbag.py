@@ -1066,4 +1066,12 @@ def _main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(_main())
+    try:
+        raise SystemExit(_main())
+    except BrokenPipeError:
+        # stdout closed early (e.g. `... info bag | head`): exit quietly
+        # like the standard rosbag tool instead of tracebacking.
+        import os as _os
+        import sys as _sys
+        _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), _sys.stdout.fileno())
+        raise SystemExit(1)

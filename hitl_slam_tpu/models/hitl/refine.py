@@ -99,7 +99,11 @@ def post_human_refine(
                                             max_cells=match_max_cells)
         match_dropped = matches.dropped
     if solver == "auto":
-        solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense"
+        # dense_fused measured faster than dense at bench shapes (P=1024,
+        # ~33k matches, 10 LM iters): 290.7 vs 300.5 ms end-to-end on TPU
+        # (scripts/r3_tpu_measure2.py, device_get-forced) — the saved
+        # factor pass on accepted steps outweighs assembly on rejects.
+        solver = "pcg" if poses.shape[0] > DENSE_POSE_LIMIT else "dense_fused"
     # the solvers' off-diagonal pair compact must hold every pair the
     # matcher can emit — never smaller than the election capacity
     solver_pairs = max(max_pairs, 16384)
