@@ -71,6 +71,25 @@ def main():
 
     t_start = time.perf_counter()
 
+    def force_fetch(out):
+        """Trap-proof completion barrier for timed sections.
+
+        block_until_ready through the axon relay was measured returning
+        BEFORE the work completes (NOTES.md timing trap: a ~146 ms refine
+        "timed" 0.08 ms with the warmup-then-identical-rerun pattern), so
+        every timed section must fetch real bytes from the result instead:
+        jax.device_get of one output leaf cannot return until the program
+        has executed. Fetch the SMALLEST leaf to keep transfer overhead to
+        a single relay round trip (~5-10 ms, small vs the >=100 ms
+        sections). Callers also perturb a float input per sample so no
+        relay-side result reuse can fake a number.
+        """
+        import jax as _j
+        leaves = [x for x in _j.tree_util.tree_leaves(out)
+                  if hasattr(x, "size")]
+        leaf = min(leaves, key=lambda x: x.size)
+        return float(np.sum(np.asarray(_j.device_get(leaf), np.float64)))
+
     from hitl_slam_tpu.baselines.cpu_lm import cpu_lm_solve
     from hitl_slam_tpu.core.state import SingleInput
     from hitl_slam_tpu.io.figure8 import generate_figure8
@@ -371,13 +390,15 @@ def main():
         prob_big = build_problem(jnp.asarray(chain), big_tbl)
         cfg20 = LMConfig(max_iterations=20)
         r = solve_jit(prob_big, jnp.asarray(chain), cfg20)  # warmup/compile
-        jax.block_until_ready(r.poses)
-        # min-of-3: single samples on the shared host vary 1.5x run-to-run
+        force_fetch(r)
+        # min-of-3: single samples on the shared host vary 1.5x run-to-run;
+        # perturbed start + scalar fetch per sample (timing trap)
         big_samples = []
-        for _ in range(3):
+        for k in range(3):
+            pk = jnp.asarray(chain) + jnp.float32(1e-6 * (k + 1))
             t0 = time.perf_counter()
-            r = solve_jit(prob_big, jnp.asarray(chain), cfg20)
-            jax.block_until_ready(r.poses)
+            r = solve_jit(prob_big, pk, cfg20)
+            force_fetch(r)
             big_samples.append((time.perf_counter() - t0) * 1e3)
         big_solve_ms = min(big_samples)
 
@@ -388,10 +409,11 @@ def main():
         reps, btable = make_perturbed_replicas(
             np.asarray(eng.state.poses), tbl, num_replicas=n_replicas)
         rb = batched_solve(reps, btable, cfg20)  # warmup/compile
-        jax.block_until_ready(rb.poses)
+        force_fetch(rb)
+        reps_p = reps + jnp.float32(1e-6)
         t0 = time.perf_counter()
-        rb = batched_solve(reps, btable, cfg20)
-        jax.block_until_ready(rb.poses)
+        rb = batched_solve(reps_p, btable, cfg20)
+        force_fetch(rb)
         replica_ms = (time.perf_counter() - t0) * 1e3
 
     except Exception as e:
@@ -426,13 +448,15 @@ def main():
             e_poses, np.zeros((len(e_poses), 3, 3), np.float32), e_pcs, e_ncs)
         eopts = EnmlOptions()
         stream_s = n_steps * SCAN_PERIOD_S
+        import jax.numpy as _jnpe
+        est_pts_p = est.points + _jnpe.float32(1e-6)  # timing-trap guard
         out_enml = batch_localize(est.points, est.normals, est.point_mask,
                                   est.poses, eopts)
-        _jax.block_until_ready(out_enml)
+        force_fetch(out_enml)
         t0 = time.perf_counter()
-        out_enml = batch_localize(est.points, est.normals, est.point_mask,
+        out_enml = batch_localize(est_pts_p, est.normals, est.point_mask,
                                   est.poses, eopts)
-        _jax.block_until_ready(out_enml)
+        force_fetch(out_enml)
         enml_ms = (time.perf_counter() - t0) * 1e3
         enml_nodes = est.num_poses
         enml_rtf = stream_s / (enml_ms / 1e3)
@@ -442,12 +466,12 @@ def main():
         out_ck = checkerboard_localize(est.points, est.normals,
                                        est.point_mask, est.poses, eopts,
                                        chunk=ck_chunk)
-        _jax.block_until_ready(out_ck)
+        force_fetch(out_ck)
         t0 = time.perf_counter()
-        out_ck = checkerboard_localize(est.points, est.normals,
+        out_ck = checkerboard_localize(est_pts_p, est.normals,
                                        est.point_mask, est.poses, eopts,
                                        chunk=ck_chunk)
-        _jax.block_until_ready(out_ck)
+        force_fetch(out_ck)
         enml_checker_ms = (time.perf_counter() - t0) * 1e3
         enml_checker_rtf = stream_s / (enml_checker_ms / 1e3)
     except Exception as e:
@@ -461,11 +485,11 @@ def main():
         w80 = EnmlOptions(max_history=80)
         out80 = checkerboard_localize(est.points, est.normals,
                                       est.point_mask, est.poses, w80, chunk=2)
-        _jax.block_until_ready(out80)
+        force_fetch(out80)
         t0 = time.perf_counter()
-        out80 = checkerboard_localize(est.points, est.normals,
+        out80 = checkerboard_localize(est.points + 1e-6, est.normals,
                                       est.point_mask, est.poses, w80, chunk=2)
-        _jax.block_until_ready(out80)
+        force_fetch(out80)
         enml_w80_ms = (time.perf_counter() - t0) * 1e3
     except Exception as e:
         import sys; print(f'[bench] enml W=80 skipped: {e}', file=sys.stderr)
@@ -496,34 +520,35 @@ def main():
         occupancy = float(np.asarray(est_l.point_mask).mean())
         mem_mb = (est_l.points.nbytes + est_l.normals.nbytes
                   + est_l.point_mask.nbytes) / 1e6
+        estl_pts_p = est_l.points + 1e-6   # timing-trap guard
         out_sl = batch_localize(est_l.points, est_l.normals,
                                 est_l.point_mask, est_l.poses, eopts)
-        _jax.block_until_ready(out_sl)
+        force_fetch(out_sl)
         t0 = time.perf_counter()
-        out_sl = batch_localize(est_l.points, est_l.normals,
+        out_sl = batch_localize(estl_pts_p, est_l.normals,
                                 est_l.point_mask, est_l.poses, eopts)
-        _jax.block_until_ready(out_sl)
+        force_fetch(out_sl)
         seq_ms = (time.perf_counter() - t0) * 1e3
         out_cl = checkerboard_localize(est_l.points, est_l.normals,
                                        est_l.point_mask, est_l.poses, eopts,
                                        chunk=16)
-        _jax.block_until_ready(out_cl)
+        force_fetch(out_cl)
         t0 = time.perf_counter()
-        out_cl = checkerboard_localize(est_l.points, est_l.normals,
+        out_cl = checkerboard_localize(estl_pts_p, est_l.normals,
                                        est_l.point_mask, est_l.poses, eopts,
                                        chunk=16)
-        _jax.block_until_ready(out_cl)
+        force_fetch(out_cl)
         ck_ms = (time.perf_counter() - t0) * 1e3
         w80_l = EnmlOptions(max_history=80)
         out_w = checkerboard_localize(est_l.points, est_l.normals,
                                       est_l.point_mask, est_l.poses, w80_l,
                                       chunk=2)
-        _jax.block_until_ready(out_w)
+        force_fetch(out_w)
         t0 = time.perf_counter()
-        out_w = checkerboard_localize(est_l.points, est_l.normals,
+        out_w = checkerboard_localize(estl_pts_p, est_l.normals,
                                       est_l.point_mask, est_l.poses, w80_l,
                                       chunk=2)
-        _jax.block_until_ready(out_w)
+        force_fetch(out_w)
         w80_ms = (time.perf_counter() - t0) * 1e3
         enml_scale = {
             "enml_scale_nodes": int(nodes_l),
@@ -621,11 +646,11 @@ def main():
                        matcher="pair", max_pairs=16384)
             outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
                          st8.constraints, **_r8)
-            _jax.block_until_ready(outr8.poses)
+            force_fetch(outr8)
             t0 = time.perf_counter()
-            outr8 = _phr(st8.points, st8.normals, st8.point_mask, st8.poses,
-                         st8.constraints, **_r8)
-            _jax.block_until_ready(outr8.poses)
+            outr8 = _phr(st8.points + 1e-6, st8.normals, st8.point_mask,
+                         st8.poses, st8.constraints, **_r8)
+            force_fetch(outr8)
             hitl8192["post_optimize_8192_pair_ms"] = round(
                 (time.perf_counter() - t0) * 1e3, 2)
             hitl8192["post_optimize_8192_matches"] = int(
@@ -658,15 +683,16 @@ def main():
 
         stp = eng.state
         cfg_refine = _LMC(max_iterations=10)
+        stp_pts_p = stp.points + 1e-6   # timing-trap guard
         outr = post_human_refine(stp.points, stp.normals, stp.point_mask,
                                  stp.poses, stp.constraints,
                                  config=cfg_refine)
-        _jax.block_until_ready(outr.poses)
+        force_fetch(outr)
         t0 = time.perf_counter()
-        outr = post_human_refine(stp.points, stp.normals, stp.point_mask,
+        outr = post_human_refine(stp_pts_p, stp.normals, stp.point_mask,
                                  stp.poses, stp.constraints,
                                  config=cfg_refine)
-        _jax.block_until_ready(outr.poses)
+        force_fetch(outr)
         post_opt_ms = (time.perf_counter() - t0) * 1e3
         post_opt_matches = int(np.asarray(outr.num_matches))
         post_opt_dropped = int(np.asarray(outr.match_dropped))
@@ -687,17 +713,21 @@ def main():
 
         stf_f = _match_build(stp.points, stp.normals, stp.point_mask,
                              stp.poses)
-        _jax.block_until_ready(stf_f.p0)
+        force_fetch(stf_f)
         t0 = time.perf_counter()
-        stf_f = _match_build(stp.points, stp.normals, stp.point_mask,
+        stf_f = _match_build(stp_pts_p, stp.normals, stp.point_mask,
                              stp.poses)
-        _jax.block_until_ready(stf_f.p0)
+        force_fetch(stf_f)
         post_opt_match_ms = (time.perf_counter() - t0) * 1e3
-        outs = _stf_lm(stp.poses, stp.constraints, stf_f, config=cfg_refine)
-        _jax.block_until_ready(outs.poses)
+        # fused_eval=True matches post_human_refine's auto default (the
+        # headline path) so match_ms + lm_ms decomposes the same pipeline
+        outs = _stf_lm(stp.poses, stp.constraints, stf_f, config=cfg_refine,
+                       fused_eval=True)
+        force_fetch(outs)
         t0 = time.perf_counter()
-        outs = _stf_lm(stp.poses, stp.constraints, stf_f, config=cfg_refine)
-        _jax.block_until_ready(outs.poses)
+        outs = _stf_lm(stp.poses + 1e-6, stp.constraints, stf_f,
+                       config=cfg_refine, fused_eval=True)
+        force_fetch(outs)
         post_opt_lm_ms = (time.perf_counter() - t0) * 1e3
         post_opt_lm_iters = int(np.asarray(outs.iterations))
 
