@@ -68,6 +68,11 @@ class EnmlOptions:
     # reference's freiburg/orebro domains set max_solver_iterations=50,
     # which costs ~3 min of XLA CPU compile fully unrolled (measured;
     # linear in gn_iterations x window body size).
+    # TPU-measured A/B (scripts/r3_tpu_measure3.py, 129 nodes, remote-
+    # compile relay): fully unrolled wins steady-state — gn=12: 321 ms vs
+    # 383 (k=2) / 372 (k=4); gn=50: 998 ms vs 1220 (k=2) — while k=2 cuts
+    # the relay compile 33 s -> 4.6 s (gn=12) and 87 s -> 15.5 s (gn=50).
+    # Keep None for serving; set k for interactive config exploration.
     gn_unroll: int | None = None
 
 
