@@ -62,6 +62,7 @@ def cycle_step(
     sel_raw: Array,       # [4,2] clicked points, world frame
     write_offset: Array,  # scalar int32
     lm_config: LMConfig = LMConfig(),
+    odom_inv_sigma: Array | None = None,  # [P-1,3] loop-closure weighting
 ) -> CycleOutput:
     from ...ops.pallas_em import em_scan
 
@@ -122,7 +123,9 @@ def cycle_step(
     poses2 = poses2.at[:, 2].set(angle_mod(poses2[:, 2]))
 
     # --- joint LM solve over odometry + all human factors ---
-    problem = build_problem(poses2, table)
+    # (odom_inv_sigma != None is the EnML loop-closure mode: chain factors
+    # weighted by the pose covariance ellipses, AddLoopConstraint semantics)
+    problem = build_problem(poses2, table, odom_inv_sigma=odom_inv_sigma)
     lm = lm_solve(problem, poses2, lm_config)
     poses3 = lm.poses.at[:, 2].set(angle_mod(lm.poses[:, 2]))
 
@@ -154,6 +157,7 @@ def queue_chain(
     sels: Array,          # [K,4,2] per-cycle clicked points (world frame)
     n0: Array,            # scalar int32 constraint-table write cursor
     lm_config: LMConfig = LMConfig(),
+    odom_inv_sigma: Array | None = None,
 ):
     """K correction cycles fused into ONE device program (lax.scan).
 
@@ -178,7 +182,8 @@ def queue_chain(
         poses, covs, table, n = carry
         ctype, sel = x
         out = cycle_step(points, point_mask, poses, covs, table, ctype,
-                         sel, n, lm_config=lm_config)
+                         sel, n, lm_config=lm_config,
+                         odom_inv_sigma=odom_inv_sigma)
         ok = (out.verified & out.order_valid
               & jnp.isfinite(out.lm_final_cost))
         poses2 = jnp.where(ok, out.poses, poses)

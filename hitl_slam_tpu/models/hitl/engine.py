@@ -75,6 +75,11 @@ class HitLSLAM:
         self.speculate = True
         self.speculative_hits = 0
         self._speculative = None
+        # optional [P-1, 3] per-factor odometry inverse stddevs: the EnML
+        # loop-closure mode weights chain factors by the pose covariance
+        # ellipses (AddLoopConstraint, vector_mapping.cpp:450-617) instead
+        # of the HitL tool's hardcoded noise model
+        self.odom_inv_sigma = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -186,6 +191,7 @@ class HitLSLAM:
             jnp.asarray(sel),
             jnp.asarray(self.num_constraints, jnp.int32),
             lm_config=self.lm_config,
+            odom_inv_sigma=self.odom_inv_sigma,
         )
         box: dict = {}
 
@@ -276,7 +282,8 @@ class HitLSLAM:
         from ...solver.joint import build_problem
 
         st = self.state
-        prob = build_problem(st.poses, st.constraints)
+        prob = build_problem(st.poses, st.constraints,
+                             odom_inv_sigma=self.odom_inv_sigma)
         r_o = R.odometry_residuals(prob.odom, st.poses)
         r_h = R.human_residuals(prob.human, st.poses)
         return {
@@ -419,6 +426,7 @@ class HitLSLAM:
                 st.constraints, jnp.asarray(ctypes), jnp.asarray(sels),
                 jnp.asarray(self.num_constraints, jnp.int32),
                 lm_config=self.lm_config,
+                odom_inv_sigma=self.odom_inv_sigma,
             )
             ok, ver, ordv, n_new, lm_it, c0, c1 = jax.device_get(per)
             timer.lap("queue_chain")
@@ -524,6 +532,7 @@ class HitLSLAM:
                 jnp.asarray(sel),
                 jnp.asarray(self.num_constraints, jnp.int32),
                 lm_config=self.lm_config,
+                odom_inv_sigma=self.odom_inv_sigma,
             )
         if vals is None:
             vals = jax.device_get((

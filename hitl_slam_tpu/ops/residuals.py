@@ -46,7 +46,7 @@ class OdometryFactors:
     axis: Array      # [F, 2, 2] rows = (radial, tangential) directions
     radial: Array    # [F] radial translation target
     rotation: Array  # [F] relative rotation target
-    inv_sigma: Array  # [3] 1/std for (radial, tangential, angular)
+    inv_sigma: Array  # [F, 3] 1/std for (radial, tangential, angular)
 
 
 @jax.tree_util.register_dataclass
@@ -60,13 +60,19 @@ class HumanFactors:
     active: Array    # [C] bool
 
 
-def build_odometry_factors(poses: Array) -> OdometryFactors:
+def build_odometry_factors(poses: Array,
+                           inv_sigma: Array | None = None) -> OdometryFactors:
     """Compute factor constants from current poses, vectorized over the chain.
 
     Mirrors AddOdometryConstraints (JointOptimization.cpp:736-825): radial
     direction is the unit relative translation in pose i-1's frame, or the
     pose-i heading when the motion is ~zero; rotation target is the wrapped
     relative angle.
+
+    `inv_sigma` overrides the hardcoded noise model with PER-FACTOR [F, 3]
+    inverse stddevs — the EnML loop-closure path weights each chain factor
+    by the pose covariance ellipse instead (VectorMapping::AddLoopConstraint,
+    vector_mapping.cpp:450-617; see models/enml/session.loop_inv_sigmas).
     """
     p0, p1 = poses[:-1], poses[1:]
     trans = p1[:, :2] - p0[:, :2]
@@ -82,10 +88,12 @@ def build_odometry_factors(poses: Array) -> OdometryFactors:
     axis = jnp.stack([radial_dir, tangential_dir], axis=-2)  # rows
     radial = jnp.where(degenerate, 0.0, norm)
     rotation = angle_mod(p1[:, 2] - p0[:, 2])
-    inv_sigma = jnp.array(
-        [1.0 / ODOM_RADIAL_STD, 1.0 / ODOM_TANGENTIAL_STD, 1.0 / ODOM_ANGULAR_STD],
-        poses.dtype,
-    )
+    if inv_sigma is None:
+        inv_sigma = jnp.broadcast_to(jnp.array(
+            [1.0 / ODOM_RADIAL_STD, 1.0 / ODOM_TANGENTIAL_STD,
+             1.0 / ODOM_ANGULAR_STD], poses.dtype), (axis.shape[0], 3))
+    else:
+        inv_sigma = jnp.asarray(inv_sigma, poses.dtype)
     return OdometryFactors(axis=axis, radial=radial, rotation=rotation,
                            inv_sigma=inv_sigma)
 
@@ -100,9 +108,9 @@ def odometry_residuals(f: OdometryFactors, poses: Array) -> Array:
     p0, p1 = poses[:-1], poses[1:]
     v = rotate(-p0[:, 2], p1[:, :2] - p0[:, :2])
     u = jnp.einsum("fij,fj->fi", f.axis, v)
-    r0 = (u[:, 0] - f.radial) * f.inv_sigma[0]
-    r1 = u[:, 1] * f.inv_sigma[1]
-    r2 = angle_mod(p1[:, 2] - p0[:, 2] - f.rotation) * f.inv_sigma[2]
+    r0 = (u[:, 0] - f.radial) * f.inv_sigma[:, 0]
+    r1 = u[:, 1] * f.inv_sigma[:, 1]
+    r2 = angle_mod(p1[:, 2] - p0[:, 2] - f.rotation) * f.inv_sigma[:, 2]
     return jnp.stack([r0, r1, r2], axis=-1)
 
 
@@ -115,13 +123,13 @@ def odometry_jacobians(f: OdometryFactors, poses: Array) -> tuple[Array, Array]:
     p0, p1 = poses[:-1], poses[1:]
     dt = p1[:, :2] - p0[:, :2]
     v = rotate(-p0[:, 2], dt)
-    B = f.axis * f.inv_sigma[:2, None][None]          # scaled rows [F,2,2]
+    B = f.axis * f.inv_sigma[:, :2, None]             # scaled rows [F,2,2]
     ARot = jnp.einsum("fij,fjk->fik", B, _rot_neg(p0[:, 2]))  # [F,2,2]
     dv_dth1 = jnp.stack([v[:, 1], -v[:, 0]], -1)       # [F,2]
     du_dth1 = jnp.einsum("fij,fj->fi", B, dv_dth1)     # [F,2]
 
     zeros = jnp.zeros_like(f.radial)
-    isa = jnp.broadcast_to(f.inv_sigma[2], zeros.shape)
+    isa = f.inv_sigma[:, 2]
 
     # J2 rows: [ARot | 0], [..], [0, 0, 1/sa]
     J2 = jnp.concatenate(

@@ -104,9 +104,9 @@ def _pair_residuals(f, p0, p1):
 
     v = rotate(-p0[:, 2], p1[:, :2] - p0[:, :2])
     u = jnp.einsum("fij,fj->fi", f.axis, v)
-    r0 = (u[:, 0] - f.radial) * f.inv_sigma[0]
-    r1 = u[:, 1] * f.inv_sigma[1]
-    r2 = angle_mod(p1[:, 2] - p0[:, 2] - f.rotation) * f.inv_sigma[2]
+    r0 = (u[:, 0] - f.radial) * f.inv_sigma[:, 0]
+    r1 = u[:, 1] * f.inv_sigma[:, 1]
+    r2 = angle_mod(p1[:, 2] - p0[:, 2] - f.rotation) * f.inv_sigma[:, 2]
     return jnp.stack([r0, r1, r2], axis=-1)
 
 
@@ -117,12 +117,12 @@ def _pair_jacobians(f, p0, p1):
     from ..ops.geometry import rotate
 
     v = rotate(-p0[:, 2], dt)
-    B = f.axis * f.inv_sigma[:2, None][None]
+    B = f.axis * f.inv_sigma[:, :2, None]
     ARot = jnp.einsum("fij,fjk->fik", B, _rot_neg(p0[:, 2]))
     dv = jnp.stack([v[:, 1], -v[:, 0]], -1)
     du = jnp.einsum("fij,fj->fi", B, dv)
     zeros = jnp.zeros_like(f.radial)
-    isa = jnp.broadcast_to(f.inv_sigma[2], zeros.shape)
+    isa = f.inv_sigma[:, 2]
     J2 = jnp.concatenate(
         [jnp.concatenate([ARot, jnp.zeros_like(du)[..., None]], -1),
          jnp.stack([zeros, zeros, isa], -1)[:, None, :]], axis=1)
@@ -142,7 +142,7 @@ def _pad_factors(odom: res.OdometryFactors, P_total: int) -> res.OdometryFactors
         axis=jnp.concatenate([odom.axis, eye], axis=0),
         radial=pad(odom.radial, 0.0),
         rotation=pad(odom.rotation, 0.0),
-        inv_sigma=odom.inv_sigma,
+        inv_sigma=pad(odom.inv_sigma, 1.0),
     )
 
 
@@ -229,7 +229,7 @@ def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
 
     odom_spec = res.OdometryFactors(
         axis=P("pose", None, None), radial=P("pose"), rotation=P("pose"),
-        inv_sigma=P(),
+        inv_sigma=P("pose", None),
     )
     compact_spec = res.CompactHuman(
         q0=P("pose", None), A=P("pose", None, None), c=P("pose", None), k=P()

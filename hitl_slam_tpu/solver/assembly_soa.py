@@ -91,8 +91,8 @@ def normal_equations_soa(
     U [P-1,3,3], g [P,3], cost), gauge-fixed at pose 0."""
     dtype = poses.dtype
     P = problem.num_poses
-    i0, i1, i2 = (problem.odom.inv_sigma[0], problem.odom.inv_sigma[1],
-                  problem.odom.inv_sigma[2])
+    i0, i1, i2 = (problem.odom.inv_sigma[:, 0], problem.odom.inv_sigma[:, 1],
+                  problem.odom.inv_sigma[:, 2])
     pt = poses.T                       # [3, P]: lane-major
     x, y, th = pt[0], pt[1], pt[2]
     x0, y0, th0 = x[:-1], y[:-1], th[:-1]

@@ -47,7 +47,11 @@ ONEHOT_BUDGET = 64 * 1024 * 1024
 
 
 def build_problem(poses: Array, table: ConstraintTable,
-                  use_onehot: bool = True) -> JointProblem:
+                  use_onehot: bool = True,
+                  odom_inv_sigma: Array | None = None) -> JointProblem:
+    """`odom_inv_sigma` [P-1, 3] overrides the hardcoded odometry noise with
+    per-factor inverse stddevs (the EnML loop-closure covariance weighting,
+    AddLoopConstraint vector_mapping.cpp:450-617)."""
     P = poses.shape[0]
     human = res.build_human_factors(poses, table)
     C = human.pose_idx.shape[0]
@@ -61,7 +65,7 @@ def build_problem(poses: Array, table: ConstraintTable,
             human.pose_idx[:, None] == jnp.arange(P)[None, :]
         ).astype(poses.dtype)
     return JointProblem(
-        odom=res.build_odometry_factors(poses),
+        odom=res.build_odometry_factors(poses, odom_inv_sigma),
         human=human,
         compact=res.compact_human_factors(human, poses, onehot),
         num_poses=P,
