@@ -82,7 +82,189 @@ def build_parser():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(device timeline; open with TensorBoard/xprof)")
+    p.add_argument("--gui", action="store_true",
+                   help="interactive mode: publish live progress frames "
+                        "(poses, covariance ellipses, STF correspondences) "
+                        "to the websocket viewer during batch localization "
+                        "and accept loop-closure corrections — the "
+                        "reference tool's live side (DrawPoses/DrawStfs/"
+                        "CorrespondenceCallback vector_mapping_main.cpp:"
+                        "1427-1564; LoopCloseCallback :2753)")
+    p.add_argument("--gui-port", type=int, default=8765)
+    p.add_argument("--segment", type=int, default=32,
+                   help="with --gui: nodes per fused device program between "
+                        "progress frames / correction splice points")
+    p.add_argument("--replay", default=None, metavar="LOG",
+                   help="after batch localization, replay a logged "
+                        "correction session (ReplayLog, vector_mapping_main"
+                        ".cpp:2234-2283) headlessly and save the corrected "
+                        "map")
+    p.add_argument("--log-corrections", default=None, metavar="FILE",
+                   help="write applied loop-closure corrections to FILE "
+                        "(default with --gui: <output>.correction.log)")
+    p.add_argument("--correction-scale", type=float, default=1.0,
+                   help="AddLoopConstraint stddev scale factor on the "
+                        "covariance-weighted chain (vector_mapping.cpp:454)")
     return p
+
+
+def _publish_frame(server, sess, t_done):
+    """One live progress frame: trajectory + world points + covariance
+    ellipses + STF correspondence lines (the reference's DrawPoses :1518,
+    DrawPoseCovariance :1501, DrawStfs :1427 per-iteration publishes)."""
+    import dataclasses
+
+    from .gui.display import display_covariances, display_poses
+    from .gui.drawlist import CORRESPONDENCE_COLOR
+
+    st = dataclasses.replace(sess.state, poses=sess.poses)
+    dl = display_poses(st)
+    display_covariances(dl, sess.poses[:t_done], sess.covariances[:t_done],
+                        stride=4)
+    if t_done > 1:
+        src, tgt = sess.correspondences(t=min(t_done - 1,
+                                              sess.state.num_poses - 1))
+        dl.draw_lines(src, tgt, CORRESPONDENCE_COLOR)
+    dl.progress = float(t_done) / max(st.num_poses, 1)
+    server.publish(dl)
+
+
+def _run_gui_session(args, sess) -> int:
+    """Interactive EnML: live progress + loop-closure corrections over the
+    websocket bridge. Protocol (LoopCloseCallback semantics,
+    vector_mapping_main.cpp:2753-2810):
+
+      - a click with modifiers == 0x06 toggles loop-corrections mode (the
+        reference's exact — and colliding — use of the PARALLEL bitmask;
+        PARALLEL corrections are unreachable in the reference EnML tool and
+        here alike);
+      - in loop-corrections mode, two modifier-drags select the correction
+        (bitmask = correction type, as in the HitL tool); the completed
+        pair applies immediately — mid-localization it splices in at the
+        next segment boundary;
+      - keys: 'v' save outputs, 'l' replay next logged entry, 'q'/shutdown
+        message ends the session.
+    """
+    import threading
+
+    from .core.state import CorrectionType
+    from .gui.server import GuiServer
+    from .io.stfs import save_results_poses
+
+    server = GuiServer(port=args.gui_port)
+    done = threading.Event()
+    localizing = {"on": True}
+    pending: dict = {"type": None, "points": []}
+
+    def dispatch(ctype, pts):
+        import numpy as np
+
+        sel = np.stack(pts)
+        if localizing["on"]:
+            sess.queue_correction(ctype, sel)
+            print(f"loop correction queued ({ctype.name}) — applies at "
+                  "next segment boundary")
+        else:
+            rep = sess.add_loop_correction(ctype, sel)
+            print(f"loop correction ({ctype.name}): accepted={rep.accepted} "
+                  f"{rep.reason}")
+            _publish_frame(server, sess, sess.localized_upto)
+
+    def on_click(ev):
+        if ev.modifiers == 0x06:
+            sess.loop_corrections_on = not sess.loop_corrections_on
+            print(f"Loop corrections: {int(sess.loop_corrections_on)}")
+            return
+        if not sess.loop_corrections_on:
+            return
+        try:
+            ctype = CorrectionType(ev.modifiers)
+        except ValueError:
+            return
+        import numpy as np
+
+        down = np.asarray(ev.mouse_down, np.float32)
+        up = np.asarray(ev.mouse_up, np.float32)
+        if pending["type"] != ctype:
+            pending["type"] = ctype
+            pending["points"] = [down, up]
+        else:
+            pts = pending["points"] + [down, up]
+            pending["type"] = None
+            pending["points"] = []
+            dispatch(ctype, pts)
+
+    def save_outputs():
+        from .io import stfs
+
+        stfs.save_stfs_covars(
+            args.output + ".stfs.covars", args.map_name, 0.0, sess.poses,
+            sess.covariances,
+            [pc for pc in _clouds(sess)], [nc for nc in _normals(sess)])
+        save_results_poses(args.output + ".poses", sess.poses)
+        print(f"saved {len(sess.poses)} poses to {args.output}.poses")
+
+    def on_key(ev):
+        if ev.keycode == 0x56:      # 'v'
+            save_outputs()
+        elif ev.keycode == 0x4C:    # 'l': step the replay log
+            rep = sess.replay_next()
+            if rep is None:
+                print("No more inputs to replay!")
+            else:
+                print(f"replay: accepted={rep.accepted} {rep.reason}")
+                _publish_frame(server, sess, sess.localized_upto)
+        elif ev.keycode == 0x51:    # 'q'
+            done.set()
+
+    server.on_mouse_click = on_click
+    server.on_keyboard = on_key
+    server.on_shutdown = done.set
+    server.start()
+    print(f"EnML GUI bridge listening on ws://127.0.0.1:{args.gui_port} "
+          "(0x06-click toggles loop corrections; v=save l=replay-step "
+          "q=quit)")
+    if args.replay:
+        n = sess.load_log(args.replay)
+        print(f"loaded {n} logged corrections from {args.replay}")
+
+    t0 = time.perf_counter()
+    sess.localize(segment=args.segment,
+                  progress_cb=lambda s, t: _publish_frame(server, s, t))
+    localizing["on"] = False
+    dt = time.perf_counter() - t0
+    print(f"gui: {sess.state.num_poses} episode nodes localized in "
+          f"{dt:.2f}s; interactive (corrections live)")
+    _publish_frame(server, sess, sess.localized_upto)
+    try:
+        done.wait()
+    except KeyboardInterrupt:
+        pass
+    save_outputs()
+    log_path = args.log_corrections or (args.output + ".correction.log")
+    if sess.input_history:
+        sess.save_log(log_path)
+        print(f"logged {len(sess.input_history)} corrections to {log_path}")
+    server.stop()
+    return 0
+
+
+def _clouds(sess):
+    import numpy as np
+
+    st = sess.state
+    mask = np.asarray(st.point_mask)
+    pts = np.asarray(st.points)
+    return [pts[i][mask[i]] for i in range(st.num_poses)]
+
+
+def _normals(sess):
+    import numpy as np
+
+    st = sess.state
+    mask = np.asarray(st.point_mask)
+    nrm = np.asarray(st.normals)
+    return [nrm[i][mask[i]] for i in range(st.num_poses)]
 
 
 def _run_online(args, scans, angles, rel, opts, ep_opts) -> int:
@@ -284,6 +466,45 @@ def _main_impl(args) -> int:
               f"Hz scans); consistency {before:.4f} -> {after:.4f}; "
               f"wrote {args.output + tag}.stfs.covars")
         return new_poses
+
+    if args.gui or args.replay:
+        if args.online or args.statistical_test > 0 or args.parallel_windows:
+            raise SystemExit("ERROR: --gui/--replay are incompatible with "
+                             "--online/--statistical-test/--parallel-windows")
+        from .models.enml.session import EnmlSession
+
+        if args.noise > 0:
+            rng = np.random.default_rng(args.seed)
+            rel = rel.copy()
+            for i in range(len(rel)):
+                rel[i] = apply_noise_model(
+                    *[float(v) for v in rel[i]], args.noise, rng)
+        poses, pcs, ncs, _rels = build_episodes(scans, angles, rel, ep_opts)
+        sess = EnmlSession(poses, pcs, ncs, options=opts,
+                           correction_scale=args.correction_scale)
+        if args.gui:
+            return _run_gui_session(args, sess)
+        # headless replay: localize, re-apply the logged corrections, save
+        n = sess.load_log(args.replay)
+        print(f"loaded {n} logged corrections from {args.replay}")
+        t0 = time.perf_counter()
+        sess.localize(segment=args.segment)
+        reps = sess.replay_all()
+        dt = time.perf_counter() - t0
+        n_ok = sum(r.accepted for r in reps)
+        from .io import stfs as _stfs
+
+        _stfs.save_stfs_covars(
+            args.output + ".stfs.covars", args.map_name, 0.0, sess.poses,
+            sess.covariances, _clouds(sess), _normals(sess))
+        _stfs.save_results_poses(args.output + ".poses", sess.poses)
+        before = consistency_metric(poses, pcs)
+        after = consistency_metric(sess.poses, pcs)
+        print(f"replay: {len(poses)} nodes localized + {n_ok}/{len(reps)} "
+              f"corrections applied in {dt:.2f}s; consistency "
+              f"{before:.4f} -> {after:.4f}; wrote "
+              f"{args.output}.stfs.covars")
+        return 0
 
     if args.online:
         if args.statistical_test > 0 or args.parallel_windows:

@@ -40,6 +40,9 @@ class DrawList:
     text_col: list = field(default_factory=list)
     robot_pose: tuple = (0.0, 0.0, 0.0)
     window_size: float = 1.0
+    # batch-localization progress in [0, 1] — the EnML live view renders a
+    # progress indicator while the sweep runs (CorrespondenceCallback cadence)
+    progress: float = 1.0
 
     def clear(self):
         self.__init__()
@@ -87,6 +90,7 @@ class DrawList:
             "text_col": self.text_col,
             "robot_pose": list(self.robot_pose),
             "window_size": self.window_size,
+            "progress": self.progress,
         })
 
     @staticmethod
@@ -104,6 +108,7 @@ class DrawList:
         dl.text_col = d.get("text_col", [])
         dl.robot_pose = tuple(d.get("robot_pose", (0, 0, 0)))
         dl.window_size = d.get("window_size", 1.0)
+        dl.progress = d.get("progress", 1.0)
         return dl
 
 

@@ -367,25 +367,27 @@ def single_window_localize(
     return new_poses.at[:, 2].set(angle_mod(new_poses[:, 2]))
 
 
-@partial(jax.jit, static_argnames=("options",))
-def batch_localize(
-    points: Array,        # [P, N, 2] robot frame
-    normals: Array,       # [P, N, 2]
-    point_mask: Array,    # [P, N]
-    initial_poses: Array,  # [P, 3] odometry-integrated estimates
-    options: EnmlOptions = EnmlOptions(),
-) -> tuple[Array, Array]:
-    """Full-trajectory sweep. Returns (poses [P,3], covariances [P,3,3])."""
-    o = options
-    P = initial_poses.shape[0]
-    W = min(o.max_history, P)
-    dtype = initial_poses.dtype
-
-    axis, d, rot, isig = _odometry_targets(initial_poses, o)
-    # relative seed transforms for window advance
+def sweep_precompute(initial_poses: Array, options: EnmlOptions):
+    """Per-trajectory constants the window sweep consumes: odometry factor
+    targets from the INITIAL (odometry-integrated) poses plus the relative
+    seed transforms for window advance. Computed once; corrections that move
+    poses mid-session do NOT change these (the reference's odometry
+    constraints keep targeting the initial relative transforms,
+    AddPoseConstraints vector_mapping.cpp:1041-1127)."""
+    axis, d, rot, isig = _odometry_targets(initial_poses, options)
     rel_t = rotate(-initial_poses[:-1, 2],
                    initial_poses[1:, :2] - initial_poses[:-1, :2])
     rel_th = initial_poses[1:, 2] - initial_poses[:-1, 2]
+    return (axis, d, rot, isig, rel_t, rel_th)
+
+
+def _make_sweep_step(points, normals, point_mask, pre, o: EnmlOptions):
+    """The per-node window-solve body shared by the fused full sweep
+    (batch_localize) and the segmented interactive sweep (sweep_segment)."""
+    axis, d, rot, isig, rel_t, rel_th = pre
+    P = points.shape[0]
+    W = min(o.max_history, P)
+    dtype = points.dtype
 
     def step(carry, t):
         poses = carry           # [P, 3] running estimates
@@ -438,6 +440,25 @@ def batch_localize(
         cov = T @ blk @ T.T
         return poses, (cov, t)
 
+    return step
+
+
+@partial(jax.jit, static_argnames=("options",))
+def batch_localize(
+    points: Array,        # [P, N, 2] robot frame
+    normals: Array,       # [P, N, 2]
+    point_mask: Array,    # [P, N]
+    initial_poses: Array,  # [P, 3] odometry-integrated estimates
+    options: EnmlOptions = EnmlOptions(),
+) -> tuple[Array, Array]:
+    """Full-trajectory sweep. Returns (poses [P,3], covariances [P,3,3])."""
+    o = options
+    P = initial_poses.shape[0]
+    dtype = initial_poses.dtype
+
+    pre = sweep_precompute(initial_poses, o)
+    step = _make_sweep_step(points, normals, point_mask, pre, o)
+
     poses0 = initial_poses
     ts = jnp.arange(P)
     poses_final, (covs, out_idx) = lax.scan(step, poses0, ts)
@@ -448,3 +469,84 @@ def batch_localize(
 
     poses_final = poses_final.at[:, 2].set(angle_mod(poses_final[:, 2]))
     return poses_final, covariances
+
+
+@partial(jax.jit, static_argnames=("options", "segment"))
+def sweep_segment(
+    points: Array,        # [P, N, 2] robot frame
+    normals: Array,       # [P, N, 2]
+    point_mask: Array,    # [P, N]
+    poses: Array,         # [P, 3] running estimates (prefix < t0 localized)
+    covs: Array,          # [P, 3, 3] running covariance buffer
+    pre,                  # sweep_precompute(initial_poses, options)
+    t0: Array,            # scalar int32: first node index of this segment
+    options: EnmlOptions = EnmlOptions(),
+    segment: int = 16,
+) -> tuple[Array, Array]:
+    """`segment` consecutive window solves of the trajectory sweep as ONE
+    device program — the interactive form of batch_localize. The host calls
+    this in a loop, publishing GUI progress frames and applying queued
+    loop-closure corrections BETWEEN segments (the reference's
+    CorrespondenceCallback/DrawPoses cadence, vector_mapping_main.cpp:
+    1427-1564, interleaved with LoopCloseCallback corrections :2753).
+
+    Node indices past P-1 are computed against a clamped window but their
+    pose/covariance updates are masked out, so any t0 tiling of [0, P) is
+    valid with one compiled program.
+    """
+    P = points.shape[0]
+    step = _make_sweep_step(points, normals, point_mask, pre, options)
+
+    def seg_step(carry, t):
+        ps, cv = carry
+        tc = jnp.minimum(t, P - 1)
+        new_ps, (cov, _) = step(ps, tc)
+        live = t < P
+        ps = jnp.where(live, new_ps, ps)
+        cv = cv.at[tc].set(jnp.where(live, cov, cv[tc]))
+        return (ps, cv), None
+
+    ts = t0 + jnp.arange(segment)
+    (poses, covs), _ = lax.scan(seg_step, (poses, covs), ts)
+    poses = poses.at[:, 2].set(angle_mod(poses[:, 2]))
+    return poses, covs
+
+
+@partial(jax.jit, static_argnames=("options",))
+def window_correspondences(
+    points: Array,        # [P, N, 2] robot frame
+    normals: Array,       # [P, N, 2]
+    point_mask: Array,    # [P, N]
+    poses: Array,         # [P, 3]
+    t: Array,             # scalar int32: newest node of the window
+    options: EnmlOptions = EnmlOptions(),
+) -> tuple[Array, Array, Array]:
+    """STF correspondence endpoints for the window ending at node `t`, in the
+    WORLD frame — the data DrawStfs renders as correspondence lines
+    (vector_mapping_main.cpp:1427-1456). Returns (src [W*N, 2], tgt [W*N, 2],
+    valid [W*N]); invalid rows are garbage and must be masked by `valid`."""
+    o = options
+    P = points.shape[0]
+    W = min(o.max_history, P)
+    a = jnp.clip(t - W + 1, 0, P - W)
+    w_pts = lax.dynamic_slice_in_dim(points, a, W, 0)
+    w_nrm = lax.dynamic_slice_in_dim(normals, a, W, 0)
+    w_mask = lax.dynamic_slice_in_dim(point_mask, a, W, 0)
+    w_poses = lax.dynamic_slice_in_dim(poses, a, W, 0)
+    widx = a + jnp.arange(W)
+    w_mask = w_mask & (widx <= t)[:, None]
+
+    N = w_pts.shape[1]
+    M = W * N
+    flat_pts = w_pts.reshape(M, 2)
+    flat_nrm = w_nrm.reshape(M, 2)
+    flat_mask = w_mask.reshape(M)
+    pose_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
+    tgt, valid = _brute_window_match(
+        w_poses, flat_pts, flat_nrm, flat_mask, pose_of,
+        o.point_match_threshold**2, jnp.cos(o.max_stf_angle_error))
+    q = w_poses[pose_of]
+    src_world = rotate(q[:, 2], flat_pts) + q[:, :2]
+    qt = w_poses[pose_of[tgt]]
+    tgt_world = rotate(qt[:, 2], flat_pts[tgt]) + qt[:, :2]
+    return src_world, tgt_world, valid
