@@ -105,6 +105,13 @@ def build_parser():
     p.add_argument("--correction-scale", type=float, default=1.0,
                    help="AddLoopConstraint stddev scale factor on the "
                         "covariance-weighted chain (vector_mapping.cpp:454)")
+    p.add_argument("--ltvm-map", default=None, metavar="VECTORS",
+                   help="LTVM-curated vector map (vectors.txt): localize "
+                        "against it — observations the map explains become "
+                        "long-term features with point-to-line factors in "
+                        "every window (the reference's LTF observation "
+                        "class, vector_mapping.h:470-474), closing the "
+                        "LTVM curate -> localize loop")
     return p
 
 
@@ -382,6 +389,15 @@ def _main_impl(args) -> int:
 
     scans, angles, rel = _load_stream(args)
     print(f"stream: {len(scans)} scans x {len(angles)} beams")
+    ltf_segs = None
+    if args.ltvm_map:
+        from .gui.map_edit import VectorMapFile
+
+        vm = VectorMapFile(args.ltvm_map)
+        if not vm.segments:
+            raise SystemExit(f"ERROR: no segments in {args.ltvm_map}")
+        ltf_segs = np.asarray([s[:4] for s in vm.segments], np.float32)
+        print(f"ltvm map: {len(ltf_segs)} segments from {args.ltvm_map}")
     opts = EnmlOptions(max_history=args.max_history,
                        gn_unroll=args.gn_unroll)
     ep_opts = EpisodeOptions(clip_low=10, clip_high=10)
@@ -454,7 +470,8 @@ def _main_impl(args) -> int:
             scans, angles, rel_odom, ep_opts)
         new_poses, covs = localize_and_save(
             poses, pcs, ncs, args.output + tag, map_name=args.map_name,
-            options=opts, parallel_windows=args.parallel_windows)
+            options=opts, parallel_windows=args.parallel_windows,
+            ltf_segs=ltf_segs)
         dt = time.perf_counter() - t0
         before = consistency_metric(poses, pcs)
         after = consistency_metric(new_poses, pcs)
@@ -481,7 +498,8 @@ def _main_impl(args) -> int:
                     *[float(v) for v in rel[i]], args.noise, rng)
         poses, pcs, ncs, _rels = build_episodes(scans, angles, rel, ep_opts)
         sess = EnmlSession(poses, pcs, ncs, options=opts,
-                           correction_scale=args.correction_scale)
+                           correction_scale=args.correction_scale,
+                           ltf_segs=ltf_segs)
         if args.gui:
             return _run_gui_session(args, sess)
         # headless replay: localize, re-apply the logged corrections, save

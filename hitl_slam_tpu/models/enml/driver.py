@@ -243,19 +243,29 @@ def localize_and_save(
     timestamp: float = 0.0,
     options=None,
     parallel_windows: bool = False,
+    ltf_segs=None,
 ):
     """Run the TPU batch localizer and write <prefix>.stfs.covars and
     <prefix>.poses (SaveStfsandCovars / SaveLoggedPoses formats).
 
     parallel_windows=True uses the checkerboard (red/black) batched window
     solver instead of the sequential sliding-window sweep — same factors,
-    windows of one parity solved as one vmapped GN problem."""
+    windows of one parity solved as one vmapped GN problem.
+
+    ltf_segs [S, 4] is a world-frame vector map (LTVM curator output):
+    observations it explains become long-term features anchored to the map
+    (point-to-line factors joining every window GN) — the reference's
+    LTF observation class (vector_mapping.h:470-474,
+    residual_functors.h:480-622), closing the LTVM curate -> localize loop."""
     from ...core.state import make_map_state
     from .localizer import EnmlOptions, batch_localize
 
     st = make_map_state(poses, np.zeros((len(poses), 3, 3), np.float32),
                         point_clouds, normal_clouds)
     opts = options or EnmlOptions()
+    if ltf_segs is not None and parallel_windows:
+        raise ValueError("ltf_segs is not supported with parallel_windows "
+                         "(the checkerboard solver has no LTF term yet)")
     if parallel_windows:
         from .parallel_localizer import (
             BRUTE_MATCH_LIMIT, checkerboard_localize, probe_match_capacity)
@@ -273,8 +283,13 @@ def localize_and_save(
                       f"(per-cell/occupied-cell capacity) — results may "
                       f"miss correspondences on this map density")
     else:
+        import jax.numpy as jnp
+
+        segs = (None if ltf_segs is None
+                else jnp.asarray(ltf_segs, st.poses.dtype))
         new_poses, covs = batch_localize(
-            st.points, st.normals, st.point_mask, st.poses, opts)
+            st.points, st.normals, st.point_mask, st.poses, opts,
+            ltf_segs=segs)
     new_poses = np.asarray(new_poses)
     covs = np.asarray(covs)
     stfs.save_stfs_covars(out_prefix + ".stfs.covars", map_name, timestamp,

@@ -74,6 +74,13 @@ class EnmlOptions:
     # the relay compile 33 s -> 4.6 s (gn=12) and 87 s -> 15.5 s (gn=50).
     # Keep None for serving; set k for interactive config exploration.
     gn_unroll: int | None = None
+    # LTF classification: a point within this distance of a vector-map
+    # segment is a long-term feature — constrained to the MAP with a
+    # point-to-line factor and excluded as an STF source (the reference's
+    # observation classes, non_markov_localization.h LTF/STF/DF; factor
+    # family residual_functors.h:480-622). Only active when a vector map
+    # is passed to the localizer.
+    map_match_threshold: float = 0.25
 
 
 def _odometry_targets(initial_poses: Array, o: EnmlOptions):
@@ -141,6 +148,7 @@ def _window_gn(
     match_fn=None,       # (poses) -> (tgt, valid) override; default brute
     w_pin: Array | None = None,  # [W] bool — poses to pin (besides pose 0)
     eval_only: bool = False,  # skip GN: one match + one Hessian evaluation
+    ltf_segs: Array | None = None,  # [S, 4] world vector map -> LTF factors
 ):
     """`match_rounds` x (window NN match -> gn_iterations damped GN steps on
     the dense [3W,3W] window system); pose 0 of the window fixed.
@@ -173,6 +181,16 @@ def _window_gn(
     def gn_round(carry, _, n_iter=o.gn_iterations):
         poses, _unused = carry
         tgt, valid = match(poses)
+        if ltf_segs is not None:
+            # classify long-term features: points the vector map explains
+            # become point-to-line factors and stop being STF sources
+            from ...ops.ltf import match_segments
+
+            q_ = poses[pose_of]
+            world = rotate(q_[:, 2], flat_pts) + q_[:, :2]
+            ltf_idx, ltf_valid = match_segments(
+                ltf_segs, world, flat_mask, o.map_match_threshold)
+            valid = valid & ~ltf_valid
         s_pose = pose_of
         t_pose = pose_of[tgt]
         sp = flat_pts
@@ -299,6 +317,30 @@ def _window_gn(
             X2 = jnp.stack([a[p] * b[q] + a1[p] * b1_[q]
                             for p in range(3) for q in range(3)], axis=-1)
             D_st = (oh_s.T @ X0 + oh_t.T @ X1).reshape(W, 3, 3)
+
+            if ltf_segs is not None:
+                # unary point-to-line LTF factors: r = n . (world - a_seg),
+                # J = [n | n . perp(R p)] — block diagonal in the pose, so
+                # one [W,M]@[M,9] one-hot contraction covers all of H_ltf
+                # (residual_functors.h:480-622 family, batched)
+                sa = ltf_segs[ltf_idx, 0:2]
+                sd = ltf_segs[ltf_idx, 2:4] - sa
+                inv_len = 1.0 / jnp.maximum(
+                    jnp.linalg.norm(sd, axis=-1), 1e-12)
+                nx = -sd[:, 1] * inv_len
+                ny = sd[:, 0] * inv_len
+                wl = ltf_valid.astype(poses.dtype) * wgt
+                rl = (nx * (spwx - sa[:, 0]) + ny * (spwy - sa[:, 1])) * wl
+                # dworld/dth = perp(R p) = (-rsy, rsx)
+                jx, jy = nx * wl, ny * wl
+                jt = (nx * (-rsy) + ny * rsx) * wl
+                jrow = (jx, jy, jt)
+                XL = jnp.stack([jrow[p] * jrow[q]
+                                for p in range(3) for q in range(3)], -1)
+                D_st = D_st + (oh_s.T @ XL).reshape(W, 3, 3)
+                g = g + oh_s.T @ jnp.stack(
+                    [jrow[p] * rl for p in range(3)], -1)
+
             Y = X2[:, None, :] * oh_t[:, :, None]            # [M, W, 9]
             Cst = (oh_s.T @ Y.reshape(M, W * 9)).reshape(W, W, 3, 3)
             Hb = Cst + jnp.transpose(Cst, (1, 0, 3, 2))      # + (t,s) term
@@ -352,6 +394,7 @@ def single_window_localize(
     point_mask: Array,    # [W, N]
     poses: Array,         # [W, 3] current estimates
     options: EnmlOptions = EnmlOptions(),
+    ltf_segs: Array | None = None,  # [S, 4] vector map -> LTF factors
 ) -> Array:
     """One window GN solve over exactly these W poses (first pose fixed) —
     the online-mode re-localization step (SensorUpdate semantics,
@@ -362,7 +405,7 @@ def single_window_localize(
     axis, d, rot, isig = _odometry_targets(poses, o)
     new_poses, _H = _window_gn(
         poses, points, normals, point_mask, axis, d, rot, isig,
-        jnp.ones(W - 1, poses.dtype), o,
+        jnp.ones(W - 1, poses.dtype), o, ltf_segs=ltf_segs,
     )
     return new_poses.at[:, 2].set(angle_mod(new_poses[:, 2]))
 
@@ -381,7 +424,8 @@ def sweep_precompute(initial_poses: Array, options: EnmlOptions):
     return (axis, d, rot, isig, rel_t, rel_th)
 
 
-def _make_sweep_step(points, normals, point_mask, pre, o: EnmlOptions):
+def _make_sweep_step(points, normals, point_mask, pre, o: EnmlOptions,
+                     ltf_segs=None):
     """The per-node window-solve body shared by the fused full sweep
     (batch_localize) and the segmented interactive sweep (sweep_segment)."""
     axis, d, rot, isig, rel_t, rel_th = pre
@@ -414,7 +458,7 @@ def _make_sweep_step(points, normals, point_mask, pre, o: EnmlOptions):
 
         new_w_poses, H = _window_gn(
             w_poses, w_pts, w_nrm, w_mask, w_axis, w_d, w_rot, w_isig,
-            w_chain_valid, o,
+            w_chain_valid, o, ltf_segs=ltf_segs,
         )
         poses = lax.dynamic_update_slice_in_dim(poses, new_w_poses, a, 0)
 
@@ -450,14 +494,18 @@ def batch_localize(
     point_mask: Array,    # [P, N]
     initial_poses: Array,  # [P, 3] odometry-integrated estimates
     options: EnmlOptions = EnmlOptions(),
+    ltf_segs: Array | None = None,  # [S, 4] vector map -> LTF factors
 ) -> tuple[Array, Array]:
-    """Full-trajectory sweep. Returns (poses [P,3], covariances [P,3,3])."""
+    """Full-trajectory sweep. Returns (poses [P,3], covariances [P,3,3]).
+    With `ltf_segs`, observations the map explains become long-term
+    features anchored to it (point-to-line factors in every window)."""
     o = options
     P = initial_poses.shape[0]
     dtype = initial_poses.dtype
 
     pre = sweep_precompute(initial_poses, o)
-    step = _make_sweep_step(points, normals, point_mask, pre, o)
+    step = _make_sweep_step(points, normals, point_mask, pre, o,
+                            ltf_segs=ltf_segs)
 
     poses0 = initial_poses
     ts = jnp.arange(P)
@@ -482,6 +530,7 @@ def sweep_segment(
     t0: Array,            # scalar int32: first node index of this segment
     options: EnmlOptions = EnmlOptions(),
     segment: int = 16,
+    ltf_segs: Array | None = None,  # [S, 4] vector map -> LTF factors
 ) -> tuple[Array, Array]:
     """`segment` consecutive window solves of the trajectory sweep as ONE
     device program — the interactive form of batch_localize. The host calls
@@ -495,7 +544,8 @@ def sweep_segment(
     valid with one compiled program.
     """
     P = points.shape[0]
-    step = _make_sweep_step(points, normals, point_mask, pre, options)
+    step = _make_sweep_step(points, normals, point_mask, pre, options,
+                            ltf_segs=ltf_segs)
 
     def seg_step(carry, t):
         ps, cv = carry

@@ -116,11 +116,14 @@ class EnmlSession:
     def __init__(self, poses, point_clouds, normal_clouds,
                  options: EnmlOptions = EnmlOptions(),
                  correction_scale: float = 1.0,
-                 constraint_capacity: int = 2048):
+                 constraint_capacity: int = 2048,
+                 ltf_segs=None):
         from ...core.state import make_map_state
 
         self.options = options
         self.correction_scale = correction_scale
+        self.ltf_segs = None if ltf_segs is None else np.asarray(
+            ltf_segs, np.float32)
         self.state = make_map_state(
             np.asarray(poses, np.float32),
             np.zeros((len(poses), 3, 3), np.float32),
@@ -156,10 +159,13 @@ class EnmlSession:
         ps = jnp.asarray(self.poses)
         cv = jnp.asarray(self.covariances)
         t0 = self.localized_upto
+        segs = (None if self.ltf_segs is None
+                else jnp.asarray(self.ltf_segs))
         while t0 < P:
             ps, cv = sweep_segment(
                 st.points, st.normals, st.point_mask, ps, cv, pre,
-                jnp.asarray(t0, jnp.int32), self.options, segment)
+                jnp.asarray(t0, jnp.int32), self.options, segment,
+                ltf_segs=segs)
             t0 = min(t0 + segment, P)
             self.poses = np.asarray(ps)
             self.covariances = np.array(cv)      # writable host copy

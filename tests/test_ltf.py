@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from hitl_slam_tpu.io.figure8 import generate_figure8
-from hitl_slam_tpu.ops.ltf import localize_against_map, match_segments
+from hitl_slam_tpu.ops.ltf import (localize_against_map, match_segments,
+                                   point_segment_geometry)
 
 
 @pytest.fixture(scope="module")
@@ -85,3 +86,90 @@ def test_localize_with_curated_map(setup):
     pose = np.asarray(pose)
     assert int(n_inl) > 40
     assert np.linalg.norm(pose[:2] - gt[:2]) < 0.1, (pose, gt)
+
+
+def test_enml_ltvm_pipeline(tmp_path):
+    """The full curate -> localize loop the subsystem is named for
+    (VERDICT r3 item 2): session 1 is EnML-localized and LTVM-curated into
+    a vector map; session 2 (noisier odometry, same building) localizes
+    against it via LTF point-to-line factors in the window GN
+    (vector_mapping.h:470-474, residual_functors.h:480-622) and beats both
+    raw odometry and map-free EnML on mean point-to-wall error. Also drives
+    the cli_enml --ltvm-map surface on the same data."""
+    from hitl_slam_tpu import cli_enml
+    from hitl_slam_tpu.core.state import make_map_state
+    from hitl_slam_tpu.io.figure8 import generate_raw_stream
+    from hitl_slam_tpu.models.enml.driver import (EpisodeOptions,
+                                                  build_episodes)
+    from hitl_slam_tpu.models.enml.localizer import (EnmlOptions,
+                                                     batch_localize)
+    from hitl_slam_tpu.models.ltvm.curator import LongTermVectorMap
+
+    opts = EnmlOptions(max_history=8, gn_iterations=6)
+    ep = EpisodeOptions(clip_low=10, clip_high=10)
+
+    # session 1: localize + curate the long-term vector map
+    s1 = generate_raw_stream(num_steps=96, seed=11)
+    p1, pc1, nc1, _ = build_episodes(list(s1[0]), s1[1], s1[2], ep)
+    st1 = make_map_state(p1, np.zeros((len(p1), 3, 3), np.float32), pc1, nc1)
+    lp1, _ = batch_localize(st1.points, st1.normals, st1.point_mask,
+                            st1.poses, opts)
+    vectors = LongTermVectorMap().curate(
+        np.asarray(lp1), np.asarray(st1.points), np.asarray(st1.point_mask))
+    segs = np.asarray([[*v.p1, *v.p2] for v in vectors], np.float32)
+    assert len(segs) >= 4
+
+    # session 2: noisy odometry, same building (both sessions' maps live in
+    # the odometry start frame, which coincides for the shared trajectory)
+    s2 = generate_raw_stream(num_steps=96, seed=23, noise_trans=8e-3,
+                             noise_theta=4e-3)
+    scans2, angles2, rel2, gt2, walls = s2
+    p2, pc2, nc2, _ = build_episodes(list(scans2), angles2, rel2, ep)
+    st2 = make_map_state(p2, np.zeros((len(p2), 3, 3), np.float32), pc2, nc2)
+
+    # true walls expressed in the session's odometry frame (origin = gt[0])
+    g0 = gt2[0]
+    c, s = np.cos(-g0[2]), np.sin(-g0[2])
+    R = np.array([[c, -s], [s, c]])
+    walls_odom = np.stack([
+        np.concatenate([R @ (w[:2] - g0[:2]), R @ (w[2:] - g0[:2])])
+        for w in np.asarray(walls)]).astype(np.float32)
+
+    def wall_err(poses):
+        pts = np.asarray(st2.points)
+        mask = np.asarray(st2.point_mask)
+        poses = np.asarray(poses)
+        segs_j = jnp.asarray(walls_odom)
+        tot, n = 0.0, 0
+        for i in range(len(poses)):
+            cth, sth = np.cos(poses[i, 2]), np.sin(poses[i, 2])
+            w = (pts[i][mask[i]]
+                 @ np.array([[cth, sth], [-sth, cth]], np.float32)
+                 + poses[i, :2])
+            d, _, _ = point_segment_geometry(segs_j, jnp.asarray(w))
+            tot += float(np.asarray(d).min(axis=1).sum())
+            n += d.shape[0]
+        return tot / n
+
+    no_map, _ = batch_localize(st2.points, st2.normals, st2.point_mask,
+                               st2.poses, opts)
+    with_map, _ = batch_localize(st2.points, st2.normals, st2.point_mask,
+                                 st2.poses, opts, ltf_segs=jnp.asarray(segs))
+    e_odom, e_nomap, e_map = (wall_err(st2.poses), wall_err(no_map),
+                              wall_err(with_map))
+    assert e_map < e_nomap < e_odom
+    assert e_map < 0.5 * e_nomap      # the map anchor is a decisive win
+
+    # CLI surface: --ltvm-map over an .npz stream (same shapes -> jit cache)
+    vec_path = str(tmp_path / "curated.vectors.txt")
+    with open(vec_path, "w") as f:
+        for x1, y1, x2, y2 in segs:
+            f.write(f"{x1:.4f},{y1:.4f},{x2:.4f},{y2:.4f},1.0\n")
+    npz = str(tmp_path / "s2.npz")
+    np.savez(npz, scans=np.stack(scans2), angles=angles2, rel_odometry=rel2)
+    out = str(tmp_path / "ltf_out")
+    rc = cli_enml.main(["-b", npz, "--max-history", "8", "--gn-unroll", "6",
+                        "--ltvm-map", vec_path, "-o", out])
+    assert rc == 0
+    cli_poses = np.loadtxt(out + ".poses")
+    assert cli_poses.shape == (len(p2), 3)
