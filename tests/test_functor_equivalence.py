@@ -1,0 +1,181 @@
+"""Executable evidence for DEVIATIONS.md "subsumed" functor claims
+(VERDICT r3 item 9).
+
+Each test transcribes the dormant reference functor's math into a few lines
+of numpy (the test ORACLE — residual_functors.h line cites inline) and
+checks our live factor evaluates the identical quantity on random
+instances:
+
+  - PointToPointConstraint (residual_functors.h:690-765)  == STFFactors r0
+  - PointToPointRelativeConstraint (:850-941)             == STFFactors
+    bundle cost, including under the relative (prefix-sum) pose
+    parameterization
+  - LTSConstraint (:70-145)                               == ops/ltf point-
+    to-line residual on the linear (non-saturated, same-side) branch; the
+    saturation branch is replaced by the match gate (documented deviation)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _rot(th):
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s], [s, c]])
+
+
+def _make_stf(pose0, pose1, p0, p1, n0, n1, w):
+    from hitl_slam_tpu.ops.correspond import STFFactors
+
+    C = len(p0)
+    return STFFactors(
+        pose0=jnp.asarray(pose0, jnp.int32),
+        pose1=jnp.asarray(pose1, jnp.int32),
+        p0=jnp.asarray(p0, jnp.float32),
+        p1=jnp.asarray(p1, jnp.float32),
+        n0=jnp.asarray(n0, jnp.float32),
+        n1=jnp.asarray(n1, jnp.float32),
+        weight=jnp.full((C,), w, jnp.float32),
+        valid=jnp.ones((C,), bool),
+    )
+
+
+def test_point_to_point_constraint_equals_stf_r0():
+    """PointToPointConstraint(pose, neighbor_pose) residual — the neighbor's
+    world-frame normal dotted with the world-frame point difference, scaled
+    by correlation_factor/std_dev (residual_functors.h:740-742) — is exactly
+    the r0 row of STFFactors with (pose0, p0, n0) = the neighbor and
+    (pose1, p1) = the observing pose's point."""
+    from hitl_slam_tpu.ops.correspond import stf_residuals
+
+    rng = np.random.default_rng(11)
+    P, C = 6, 64
+    poses = rng.normal(size=(P, 3)).astype(np.float32)
+    pose_i = rng.integers(0, P, C)      # observing pose ("pose")
+    nbr_i = rng.integers(0, P, C)       # neighbor pose
+    pt = rng.normal(size=(C, 2)).astype(np.float32)        # robot frame of pose_i
+    nbr_pt = rng.normal(size=(C, 2)).astype(np.float32)    # robot frame of nbr_i
+    nbr_n = rng.normal(size=(C, 2)).astype(np.float32)
+    nbr_n /= np.linalg.norm(nbr_n, axis=1, keepdims=True)
+    std_dev, corr = 0.05, 1.0 / 40.0
+    w = corr / std_dev
+
+    # oracle: residual_functors.h:716-742 transcription
+    expected = np.empty(C)
+    for k in range(C):
+        Ri, ti = _rot(poses[pose_i[k], 2]), poses[pose_i[k], :2]
+        Rn, tn = _rot(poses[nbr_i[k], 2]), poses[nbr_i[k], :2]
+        point_global = Ri @ pt[k] + ti
+        nbr_global = Rn @ nbr_pt[k] + tn
+        n_global = Rn @ nbr_n[k]
+        expected[k] = n_global @ (point_global - nbr_global) * corr / std_dev
+
+    stf = _make_stf(nbr_i, pose_i, nbr_pt, pt, nbr_n, nbr_n, w)
+    r = np.asarray(stf_residuals(stf, jnp.asarray(poses)))
+    np.testing.assert_allclose(r[:, 0], expected, rtol=0, atol=1e-5)
+
+
+def test_point_to_point_relative_constraint_equals_stf_cost():
+    """PointToPointRelativeConstraint sums squared per-match point-to-plane
+    terms into two sqrt'd bundle residuals (residual_functors.h:899-919);
+    its Ceres cost 0.5*(res0^2 + res1^2) equals 0.5 * sum of our squared
+    STFFactors rows at the same weight — including when the poses are
+    produced by the functor's own relative (prefix-sum) parameterization
+    (residual_functors.h:868-887), which our absolute-pose formulation plus
+    COP-SLAM backprop replaces."""
+    from hitl_slam_tpu.ops.correspond import stf_residuals
+
+    rng = np.random.default_rng(7)
+    P, K = 5, 40
+    # the functor's pose chain: absolute poses are prefix sums of the
+    # relative array (residual_functors.h:878-887; note the reference sums
+    # raw x/y/theta — no frame rotation — and our oracle matches that)
+    rel = rng.normal(scale=0.3, size=(P, 3)).astype(np.float32)
+    poses = np.cumsum(rel, axis=0).astype(np.float32)
+    i0, i1 = 1, 3
+    pts0 = rng.normal(size=(K, 2)).astype(np.float32)
+    pts1 = rng.normal(size=(K, 2)).astype(np.float32)
+    n0 = rng.normal(size=(K, 2)).astype(np.float32)
+    n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+    n1 = rng.normal(size=(K, 2)).astype(np.float32)
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    std_dev, corr = 0.05, 1.0 / 40.0
+    w = corr / std_dev
+
+    # oracle: residual_functors.h:895-919 transcription
+    R0, t0 = _rot(poses[i0, 2]), poses[i0, :2]
+    R1, t1 = _rot(poses[i1, 2]), poses[i1, :2]
+    res0 = res1 = 0.0
+    for k in range(K):
+        dp = (R1 @ pts1[k] + t1) - (R0 @ pts0[k] + t0)
+        res0 += ((R0 @ n0[k]) @ dp * w) ** 2
+        res1 += ((R1 @ n1[k]) @ dp * w) ** 2
+    ref_cost = 0.5 * (res0 + res1)      # Ceres: 0.5 * ||sqrt'd residuals||^2
+
+    stf = _make_stf(np.full(K, i0), np.full(K, i1), pts0, pts1, n0, n1, w)
+    r = np.asarray(stf_residuals(stf, jnp.asarray(poses)))
+    ours_cost = 0.5 * float(np.sum(r * r))
+    np.testing.assert_allclose(ours_cost, ref_cost, rtol=1e-5)
+
+
+def test_lts_constraint_equals_ltf_residual():
+    """LTSConstraint's non-saturated same-side branch — signed point-to-line
+    distance (p_world . n + line_offset) * correlation/std
+    (residual_functors.h:100-109) — equals ops/ltf's matched point-to-line
+    residual with line_offset = -a.n. The reference's 0.5 m saturation
+    branch (:107-120) is replaced by our 0.25 m match gate: beyond the gate
+    the point contributes 0 instead of a constant (deliberate deviation,
+    DEVIATIONS.md LTSConstraint row) — also asserted."""
+    from hitl_slam_tpu.ops.geometry import perp, rotate
+    from hitl_slam_tpu.ops.ltf import (LTF_CORRELATION, LTF_STD_DEV,
+                                       match_segments)
+
+    rng = np.random.default_rng(3)
+    # one long horizontal wall y=2 plus a distractor far away
+    segs = np.array([[-10.0, 2.0, 10.0, 2.0],
+                     [-10.0, 50.0, 10.0, 50.0]], np.float32)
+    pose = np.array([0.3, -0.1, 0.15], np.float32)   # robot below the wall
+    N = 32
+    # robot-frame points that land near the wall (within the 0.25 gate)
+    xw = rng.uniform(-5, 5, N)
+    yw = 2.0 - rng.uniform(0.02, 0.2, N)   # robot side of the wall only
+    world = np.stack([xw, yw], 1).astype(np.float32)
+    Rb = _rot(pose[2])
+    pts = ((world - pose[:2]) @ Rb).astype(np.float32)  # R^T (w - t)
+    mask = np.ones(N, bool)
+
+    w = LTF_CORRELATION / LTF_STD_DEV
+    seg_idx, valid = map(np.asarray, match_segments(
+        jnp.asarray(segs), jnp.asarray(world), jnp.asarray(mask)))
+    assert valid.all() and (seg_idx == 0).all()
+
+    # our residual exactly as _ltf_system computes it (ops/ltf.py:68-75)
+    a = segs[seg_idx, 0:2]
+    d = segs[seg_idx, 2:4] - a
+    n = np.asarray(perp(jnp.asarray(
+        d / np.linalg.norm(d, axis=-1, keepdims=True))))
+    world_j = np.asarray(rotate(jnp.asarray(pose[2]), jnp.asarray(pts))
+                         ) + pose[:2]
+    ours = np.sum(n * (world_j - a), -1) * w
+
+    # oracle: residual_functors.h:94-109 with line_offset = -a.n (the
+    # reference precomputes offset so that p.n + offset = signed distance)
+    expected = np.empty(N)
+    for k in range(N):
+        pg = _rot(pose[2]) @ pts[k] + pose[:2]
+        off = -a[k] @ n[k]
+        err = pg @ n[k] + off
+        pose_err = pose[:2] @ n[k] + off
+        assert pose_err * err > 0, "fixture must exercise the same-side branch"
+        assert abs(err) < 0.5, "fixture must stay in the linear region"
+        expected[k] = err / LTF_STD_DEV * LTF_CORRELATION
+    np.testing.assert_allclose(ours, expected, rtol=0, atol=1e-5)
+
+    # the documented deviation: a point past the gate is dropped (valid
+    # False, residual weight 0), not clamped to the 0.5 constant
+    far_world = np.array([[0.0, 2.6]], np.float32)     # 0.6 m off the wall
+    _, v_far = match_segments(jnp.asarray(segs), jnp.asarray(far_world),
+                              jnp.asarray(np.ones(1, bool)))
+    assert not bool(np.asarray(v_far)[0])
