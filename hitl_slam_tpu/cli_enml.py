@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import threading
 import time
 
 import numpy as np
@@ -91,6 +92,18 @@ def build_parser():
                         "CorrespondenceCallback vector_mapping_main.cpp:"
                         "1427-1564; LoopCloseCallback :2753)")
     p.add_argument("--gui-port", type=int, default=8765)
+    p.add_argument("--maps-folder", default=None, metavar="DIR",
+                   help="folder holding <name>.vectors.txt background maps "
+                        "+ atlas.txt ('<index> <name>' rows) for ChangeMap "
+                        "switching in the live view")
+    p.add_argument("--background-map", default=None, metavar="NAME_OR_PATH",
+                   help="initial background vector map for the live view "
+                        "(a name in --maps-folder, or a direct "
+                        "VectorMapFile path)")
+    p.add_argument("--hold", action="store_true",
+                   help="with --online --gui: keep the websocket bridge up "
+                        "after the stream completes until a shutdown "
+                        "message or Ctrl-C")
     p.add_argument("--segment", type=int, default=32,
                    help="with --gui: nodes per fused device program between "
                         "progress frames / correction splice points")
@@ -276,11 +289,100 @@ def _normals(sess):
 
 def _run_online(args, scans, angles, rel, opts, ep_opts) -> int:
     """Replay the stream through the OnlineLocalizer's producer/consumer
-    protocol and save the live trajectory."""
+    protocol and save the live trajectory. With --gui, also serve the live
+    view: the current scan rendered at the live pose plus the background
+    vector map (vector_display_thread.cpp laserCallback :666-668 + liveView
+    :960-974 + drawMap :560), and accept GUI-initiated localization seeds
+    (Set Position / AutoLocalize, :218-226,527-551)."""
     from .io.stfs import save_results_poses, save_stfs
     from .models.enml.online import OnlineLocalizer
 
     ol = OnlineLocalizer(episode_options=ep_opts, enml_options=opts)
+
+    server = live = None
+    t_pub = [0.0]
+    if args.gui:
+        from .gui.drawlist import TRAJECTORY_COLOR, DrawList
+        from .gui.live import LiveView
+        from .gui.server import GuiServer
+
+        live = LiveView(maps_folder=args.maps_folder,
+                        map_name=args.background_map)
+        server = GuiServer(port=args.gui_port)
+
+        def publish(now=None, min_interval=0.0):
+            now = time.monotonic() if now is None else now
+            if now - t_pub[0] < min_interval:
+                return   # maxFps throttle (compileDisplay :726-727)
+            t_pub[0] = now
+            dl = DrawList()
+            pose = ol.pose()
+            live.compile(dl, pose, now)
+            traj = ol.trajectory()
+            if len(traj):
+                dl.draw_points(traj[:, :2], TRAJECTORY_COLOR)
+            dl.robot_pose = tuple(float(v) for v in pose)
+            server.publish(dl)
+
+        def on_set_location(ev):
+            # programmatic initialpose (Set Position publish, :527-551);
+            # an optional "map" field drives autoUpdateMap switching
+            p = [float(v) for v in ev.get("pose", (0.0, 0.0, 0.0))][:3]
+            ol.set_location(*p)
+            print(f"set_location from GUI: ({p[0]:.3f}, {p[1]:.3f}, "
+                  f"{p[2]:.3f})")
+            live.maybe_auto_switch(ev.get("map"))
+            publish()
+
+        def on_click(ev):
+            # Set Position drag (modifiers 0x04, :527-530): position =
+            # mouse_down, orientation = drag direction -> seed the online
+            # localizer (the GUI -> localizer AutoLocalize path, :218-226)
+            if ev.modifiers == 0x04:
+                d = (ev.mouse_up[0] - ev.mouse_down[0],
+                     ev.mouse_up[1] - ev.mouse_down[1])
+                theta = float(np.arctan2(d[1], d[0])) if (
+                    abs(d[0]) + abs(d[1]) > 1e-9) else 0.0
+                ol.set_location(float(ev.mouse_down[0]),
+                                float(ev.mouse_down[1]), theta)
+                print(f"set_location from GUI click: "
+                      f"({ev.mouse_down[0]:.3f}, {ev.mouse_down[1]:.3f}, "
+                      f"{theta:.3f})")
+                publish()
+
+        def on_change_map(ev):
+            name = str(ev.get("name", ""))
+            ok = live.change_map(name)
+            print(f"change map to {name}: {'ok' if ok else 'not found'} "
+                  f"(atlas: {', '.join(live.atlas()) or 'none'})")
+            publish()
+
+        def on_key(ev):
+            if ev.keycode == 0x55:      # 'U': autoUpdateMap toggle (:246)
+                live.auto_update_map = not live.auto_update_map
+                print(f"AutoUpdateMap: {int(live.auto_update_map)}")
+            elif ev.keycode == 0x43:    # 'C': clear live scans (:231)
+                live.clear()
+                publish()
+
+        server.on_set_location = on_set_location
+        server.on_mouse_click = on_click
+        server.on_change_map = on_change_map
+        server.on_keyboard = on_key
+        # worker-driven repaint: the localizer thread publishes a frame the
+        # moment a node is added / a set_location seed is applied, so the
+        # live pose never lags the producer cadence (the reference repaints
+        # from localization callbacks, not the sensor loop)
+        ol.on_update = publish
+        # latch shutdown requests from the moment the bridge is up — a
+        # client may send one before the --hold wait begins
+        shutdown_ev = threading.Event()
+        server.on_shutdown = shutdown_ev.set
+        server.start()
+        print(f"EnML online live view on ws://127.0.0.1:{args.gui_port}")
+
+    angle_min = float(angles[0])
+    angle_inc = float(angles[1] - angles[0]) if len(angles) > 1 else 0.0
     ol.start()
     t0 = time.perf_counter()
     period = args.scan_period / args.rate if args.rate > 0 else 0.0
@@ -295,14 +397,26 @@ def _run_online(args, scans, angles, rel, opts, ep_opts) -> int:
             else:
                 ol.odometry_update(*[float(v) for v in rel[i]])
             ol.sensor_update(np.asarray(scans[i]), np.asarray(angles))
+            if live is not None:
+                now = time.monotonic()
+                on_scan = (live.on_kinect if args.use_kinect
+                           else live.on_laser)
+                on_scan(scans[i], angle_min, angle_inc,
+                        ep_opts.min_point_cloud_range,
+                        ep_opts.max_point_cloud_range, now)
+                publish(now, min_interval=1.0 / 30.0)
             if period:
                 time.sleep(period)
         # real completion barrier (drain() returns while the final window
         # solve is still in flight; a cold first compile can take minutes)
         flushed = ol.flush(timeout=1800.0)
         poses_list, clouds, _normals = ol.snapshot()
+        if server is not None:
+            publish()   # final frame with the completed trajectory
     finally:
         ol.stop()
+        if server is not None and not args.hold:
+            server.stop()
     dt = time.perf_counter() - t0
     if not flushed:
         print("online: localizer did not finish within 30 min; "
@@ -323,6 +437,14 @@ def _run_online(args, scans, angles, rel, opts, ep_opts) -> int:
           f"({rtf:.1f}x realtime at {1 / args.scan_period:.0f} Hz scans); "
           f"final pose ({x:.3f}, {y:.3f}, {th:.3f}); "
           f"wrote {args.output}.poses and {args.output}.stfs")
+    if server is not None and args.hold:
+        print('holding live view open; send {"type": "shutdown"} '
+              "or Ctrl-C to exit")
+        try:
+            shutdown_ev.wait()
+        except KeyboardInterrupt:
+            pass
+        server.stop()
     return 0
 
 
@@ -484,10 +606,12 @@ def _main_impl(args) -> int:
               f"wrote {args.output + tag}.stfs.covars")
         return new_poses
 
-    if args.gui or args.replay:
-        if args.online or args.statistical_test > 0 or args.parallel_windows:
+    if args.replay and args.online:
+        raise SystemExit("ERROR: --replay is incompatible with --online")
+    if (args.gui or args.replay) and not args.online:
+        if args.statistical_test > 0 or args.parallel_windows:
             raise SystemExit("ERROR: --gui/--replay are incompatible with "
-                             "--online/--statistical-test/--parallel-windows")
+                             "--statistical-test/--parallel-windows")
         from .models.enml.session import EnmlSession
 
         if args.noise > 0:

@@ -38,6 +38,14 @@ class GuiServer:
         self.on_map_edit: Callable[[dict], None] | None = None
         # nav/semantic graph editing (editGraph modes analog)
         self.on_graph_edit: Callable[[dict], None] | None = None
+        # {"type": "set_location", "pose": [x, y, theta], "map": name?}:
+        # GUI-initiated localization seed (the reference's Set Position
+        # initialpose publish + AutoLocalize service call,
+        # vector_display_thread.cpp:218-226,527-551)
+        self.on_set_location: Callable[[dict], None] | None = None
+        # {"type": "change_map", "name": ...}: background-map switch
+        # (ChangeMap, vector_display_thread.cpp:141-176)
+        self.on_change_map: Callable[[dict], None] | None = None
         # {"type": "shutdown"}: ask the engine process to exit its serve
         # loop (used by headless tests; the interactive path uses Ctrl-C)
         self.on_shutdown: Callable[[], None] | None = None
@@ -81,6 +89,14 @@ class GuiServer:
                 elif (isinstance(ev, dict) and ev.get("type") == "graph_edit"
                       and self.on_graph_edit):
                     await asyncio.to_thread(locked, self.on_graph_edit, ev)
+                elif (isinstance(ev, dict)
+                      and ev.get("type") == "set_location"
+                      and self.on_set_location):
+                    await asyncio.to_thread(locked, self.on_set_location, ev)
+                elif (isinstance(ev, dict)
+                      and ev.get("type") == "change_map"
+                      and self.on_change_map):
+                    await asyncio.to_thread(locked, self.on_change_map, ev)
                 elif (isinstance(ev, dict) and ev.get("type") == "shutdown"
                       and self.on_shutdown):
                     self.on_shutdown()

@@ -53,12 +53,22 @@ class OnlineLocalizer:
         self._lock = threading.Lock()
         self._acc = np.zeros(3)
         self._pose = np.zeros(3)
+        # episode barrier: a set_location teleport starts a NEW episode
+        # (the reference resets the non-Markov episode on re-localization);
+        # window solves never span the barrier, else the GN would drag the
+        # seeded pose back onto the pre-teleport scan-consistent chain
+        self._episode_start = 0
         self.poses: list[np.ndarray] = []
         self.clouds: list[np.ndarray] = []
         self.normals: list[np.ndarray] = []
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._window_fn = None
+        # optional observer, called from the WORKER thread after a node is
+        # added or a set_location is applied — the live-view publish hook
+        # (the reference GUI repaints on localization updates, not on the
+        # sensor producer's cadence)
+        self.on_update = None
 
     # -- producer side (sensor callbacks) ------------------------------------
 
@@ -82,6 +92,14 @@ class OnlineLocalizer:
     def node_count(self) -> int:
         with self._lock:
             return len(self.poses)
+
+    def trajectory(self) -> np.ndarray:
+        """Copy of the episode-node poses [N, 3] under the lock — cheap
+        (no clouds), for live-view publishing."""
+        with self._lock:
+            if not self.poses:
+                return np.zeros((0, 3))
+            return np.stack(self.poses)
 
     def snapshot(self):
         """Consistent copy of (poses, clouds, normals) under the lock —
@@ -128,26 +146,41 @@ class OnlineLocalizer:
             if isinstance(msg, _OdometryMsg):
                 self._integrate_odometry(msg.rel)
             elif isinstance(msg, _SensorMsg):
-                self._maybe_add_node(msg)
+                if self._maybe_add_node(msg):
+                    self._notify()
             elif isinstance(msg, _SetLocationMsg):
                 with self._lock:
                     self._pose = msg.pose.astype(np.float64).copy()
+                    self._episode_start = len(self.poses)
                 self._acc[:] = 0.0
+                self._notify()
             elif isinstance(msg, threading.Event):
                 msg.set()   # flush barrier
+
+    def _notify(self):
+        """Fire the on_update observer; a failing observer must never kill
+        the localization worker."""
+        cb = self.on_update
+        if cb is None:
+            return
+        try:
+            cb()
+        except Exception:   # pragma: no cover - observer bug isolation
+            pass
 
     def _integrate_odometry(self, rel):
         c, s = np.cos(self._acc[2]), np.sin(self._acc[2])
         self._acc[:2] += np.array([[c, -s], [s, c]]) @ rel[:2]
         self._acc[2] += rel[2]
 
-    def _maybe_add_node(self, msg: _SensorMsg):
+    def _maybe_add_node(self, msg: _SensorMsg) -> bool:
+        """Returns True when a node was added (and the window re-solved)."""
         eo = self.eo
         if self.poses and (
             np.linalg.norm(self._acc[:2]) < eo.minimum_node_translation
             and abs(self._acc[2]) < eo.minimum_node_rotation
         ):
-            return
+            return False
         r, a = msg.ranges, msg.angles
         ok = np.isfinite(r) & (r > eo.min_point_cloud_range) & (
             r < eo.max_point_cloud_range)
@@ -155,7 +188,7 @@ class OnlineLocalizer:
         pts, nrm = generate_normals_np(
             pts.astype(np.float32), eo.max_normal_point_distance)
         if len(pts) == 0:
-            return
+            return False
         with self._lock:
             c, s = np.cos(self._pose[2]), np.sin(self._pose[2])
             self._pose = np.array([
@@ -172,18 +205,22 @@ class OnlineLocalizer:
                 del self.poses[:drop]
                 del self.clouds[:drop]
                 del self.normals[:drop]
+                self._episode_start = max(0, self._episode_start - drop)
         self._acc[:] = 0.0
         self._relocalize_window()
+        return True
 
     def _relocalize_window(self):
         """Re-solve the trailing episode window on device."""
         W = self.opts.max_history
         with self._lock:
             n = len(self.poses)
-            if n < W:
-                return   # fixed window size -> the jitted program never
-                         # retraces once warm
             lo = n - W
+            if lo < self._episode_start:
+                return   # fixed window size (the jitted program never
+                         # retraces once warm); after an episode barrier,
+                         # dead-reckon from the seed until a full window of
+                         # post-teleport nodes accumulates
             poses = np.stack(self.poses[lo:])
             clouds = self.clouds[lo:]
             normals = self.normals[lo:]
