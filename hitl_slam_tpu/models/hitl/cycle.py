@@ -48,6 +48,7 @@ class CycleOutput:
     lm_iterations: Array
     lm_initial_cost: Array
     lm_final_cost: Array
+    lm_final_mu: Array          # damping at exit (chain warm-start source)
     pre_solve_poses: Array
 
 
@@ -63,6 +64,7 @@ def cycle_step(
     write_offset: Array,  # scalar int32
     lm_config: LMConfig = LMConfig(),
     odom_inv_sigma: Array | None = None,  # [P-1,3] loop-closure weighting
+    mu0: Array | None = None,  # warm-start damping (chained cycles)
 ) -> CycleOutput:
     from ...ops.pallas_em import em_scan
 
@@ -126,7 +128,7 @@ def cycle_step(
     # (odom_inv_sigma != None is the EnML loop-closure mode: chain factors
     # weighted by the pose covariance ellipses, AddLoopConstraint semantics)
     problem = build_problem(poses2, table, odom_inv_sigma=odom_inv_sigma)
-    lm = lm_solve(problem, poses2, lm_config)
+    lm = lm_solve(problem, poses2, lm_config, mu0=mu0)
     poses3 = lm.poses.at[:, 2].set(angle_mod(lm.poses[:, 2]))
 
     # --- gate the state update on validity ---
@@ -142,11 +144,12 @@ def cycle_step(
         lm_iterations=jnp.where(vq, lm.iterations, 0),
         lm_initial_cost=lm.initial_cost,
         lm_final_cost=lm.final_cost,
+        lm_final_mu=lm.final_mu,
         pre_solve_poses=poses2,
     )
 
 
-@partial(jax.jit, static_argnames=("lm_config",))
+@partial(jax.jit, static_argnames=("lm_config", "warm_start_mu"))
 def queue_chain(
     points: Array,        # [P,N,2] robot frame
     point_mask: Array,    # [P,N]
@@ -158,6 +161,7 @@ def queue_chain(
     n0: Array,            # scalar int32 constraint-table write cursor
     lm_config: LMConfig = LMConfig(),
     odom_inv_sigma: Array | None = None,
+    warm_start_mu: bool = False,
 ):
     """K correction cycles fused into ONE device program (lax.scan).
 
@@ -179,11 +183,12 @@ def queue_chain(
     """
 
     def step(carry, x):
-        poses, covs, table, n = carry
+        poses, covs, table, n, mu = carry
         ctype, sel = x
         out = cycle_step(points, point_mask, poses, covs, table, ctype,
                          sel, n, lm_config=lm_config,
-                         odom_inv_sigma=odom_inv_sigma)
+                         odom_inv_sigma=odom_inv_sigma,
+                         mu0=mu if warm_start_mu else None)
         ok = (out.verified & out.order_valid
               & jnp.isfinite(out.lm_final_cost))
         poses2 = jnp.where(ok, out.poses, poses)
@@ -192,10 +197,14 @@ def queue_chain(
         # at the unadvanced cursor; drop them like the host path does
         table2 = lax.cond(ok, lambda: out.constraints, lambda: table)
         n_new = jnp.where(ok, out.num_new_constraints, 0)
+        # damping warm-start carry: only an ACCEPTED cycle's exit damping
+        # describes the current state's curvature
+        mu2 = jnp.where(ok, out.lm_final_mu, mu)
         ys = (ok, out.verified, out.order_valid, n_new,
               out.lm_iterations, out.lm_initial_cost, out.lm_final_cost)
-        return (poses2, covs2, table2, n + n_new), ys
+        return (poses2, covs2, table2, n + n_new, mu2), ys
 
-    (poses, covariances, constraints, n_end), per_cycle = lax.scan(
-        step, (poses, covariances, constraints, n0), (ctypes, sels))
+    mu_init = jnp.asarray(lm_config.initial_mu, poses.dtype)
+    (poses, covariances, constraints, n_end, _), per_cycle = lax.scan(
+        step, (poses, covariances, constraints, n0, mu_init), (ctypes, sels))
     return poses, covariances, constraints, n_end, per_cycle

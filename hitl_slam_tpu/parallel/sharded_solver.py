@@ -259,7 +259,8 @@ def sharded_lm_solve(
     fn = _sharded_lm_fn(mesh, config, P_total, jnp.dtype(poses0.dtype).name)
     x, c, c0, it, done = fn(poses0, padded, problem.compact)
     return LMResult(poses=x, final_cost=c, initial_cost=c0, iterations=it,
-                    converged=done)
+                    converged=done,
+                    final_mu=jnp.asarray(config.initial_mu, poses0.dtype))
 
 
 def make_sharded_solver(mesh: Mesh, config: LMConfig = LMConfig()):

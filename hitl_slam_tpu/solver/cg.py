@@ -47,11 +47,21 @@ def pcg_solve(
     max_iterations: int = 256,
     tolerance: float = 1e-6,
     x0: Array | None = None,
+    preconditioner: str = "jacobi",
 ) -> tuple[Array, Array, Array]:
     """Solve (H_tridiag + extra) x = b. Returns (x, final_rel_residual,
-    iterations)."""
+    iterations).
+
+    preconditioner:
+      - "jacobi": closed-form 3x3 block-diagonal inverse (cheapest apply).
+      - "tridiag": EXACT solve of the block-tridiagonal part via BCR —
+        the preconditioned operator is I + M^-1 * extra, so CG iteration
+        counts depend only on the strength of the off-tridiagonal factor
+        coupling, not on the chain's condition number. Each apply is a
+        log-depth BCR pass; worth it when `extra` is present and the
+        Jacobi-preconditioned solve needs hundreds of iterations.
+    """
     dtype = b.dtype
-    Minv = inv3(D)  # block-Jacobi preconditioner
 
     def A(v):
         out = tridiag_matvec(D, U, v)
@@ -59,8 +69,16 @@ def pcg_solve(
             out = out + extra_matvec(v)
         return out
 
-    def prec(r):
-        return (Minv @ r[..., None])[..., 0]
+    if preconditioner == "tridiag":
+        from .tridiag import bcr_solve
+
+        def prec(r):
+            return bcr_solve(D, U, r)
+    else:
+        Minv = inv3(D)  # block-Jacobi preconditioner
+
+        def prec(r):
+            return (Minv @ r[..., None])[..., 0]
 
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x)

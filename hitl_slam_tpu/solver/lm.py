@@ -57,6 +57,7 @@ class LMResult:
     initial_cost: Array
     iterations: Array   # scalar int32
     converged: Array    # scalar bool (function tolerance reached)
+    final_mu: Array     # scalar — damping at exit (warm-start source)
 
 
 def solve(
@@ -65,6 +66,7 @@ def solve(
     config: LMConfig = LMConfig(),
     linear_solver: Callable[[Array, Array, Array], Array] | None = None,
     use_soa: bool = True,
+    mu0: Array | None = None,
 ) -> LMResult:
     """Run LM from poses0. Static over pose count; jit/vmap-safe.
 
@@ -147,9 +149,18 @@ def solve(
     def cond(state):
         return (state[-2] < config.max_iterations) & ~state[-1]
 
+    if mu0 is None:
+        mu_init = jnp.asarray(config.initial_mu, dtype)
+    else:
+        # warm start: a chained solve seeds the damping from the previous
+        # solve's exit value, clipped into a sane trust-region band — the
+        # exit mu of a CONVERGED solve is a good curvature prior for the
+        # perturbed problem the next correction creates, but an exit via
+        # trust-region collapse (mu ~ 1e10) must not freeze the next solve
+        mu_init = jnp.clip(jnp.asarray(mu0, dtype), 1e-6, 1e-1)
     init = (
         poses0, D0, U0, g0,
-        jnp.asarray(config.initial_mu, dtype),
+        mu_init,
         jnp.asarray(2.0, dtype),
         c0,
         jnp.asarray(0, jnp.int32),
@@ -158,7 +169,8 @@ def solve(
     out = lax.while_loop(cond, body, init)
     x, c, it, done = out[0], out[6], out[7], out[8]
     return LMResult(
-        poses=x, final_cost=c, initial_cost=c0, iterations=it, converged=done
+        poses=x, final_cost=c, initial_cost=c0, iterations=it, converged=done,
+        final_mu=out[4],
     )
 
 

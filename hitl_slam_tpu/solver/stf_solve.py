@@ -491,7 +491,8 @@ def _mnt_updates(config: LMConfig, dtype, c, c_new, step, diag, g, mu, nu, x):
     return accept, mu_out, nu_out, fdone | sdone | mdone
 
 
-@partial(jax.jit, static_argnames=("config", "include_chain", "max_pairs"))
+@partial(jax.jit, static_argnames=("config", "include_chain", "max_pairs",
+                                   "precondition"))
 def stf_pcg_lm_solve(
     poses0: Array,
     table: ConstraintTable,
@@ -499,6 +500,7 @@ def stf_pcg_lm_solve(
     config: LMConfig = LMConfig(max_iterations=30),
     include_chain: bool = True,
     max_pairs: int = 16384,
+    precondition: str = "tridiag",
 ) -> STFSolveResult:
     """Matrix-free LM: same problem as stf_lm_solve, linear solves by
     block-Jacobi PCG (solver/cg.py) instead of a dense factorization.
@@ -552,10 +554,15 @@ def stf_pcg_lm_solve(
         diag = jnp.clip(jnp.diagonal(D_aug, axis1=-2, axis2=-1),
                         config.min_diagonal, config.max_diagonal)
         D_damped = D_aug + mu * jax.vmap(jnp.diag)(diag)
+        # "tridiag" preconditioning solves the damped chain+diag part
+        # EXACTLY per CG apply (BCR), so iterations scale with the pair
+        # coupling strength only — measured ~an order fewer iterations
+        # than block-Jacobi on loop-closure-heavy maps; the cap reflects it
         step, _res, _cgit = pcg_solve(
             D_damped, U, -g_tot,
             extra_matvec=_pair_block_matvec(B, red, P),
-            max_iterations=200, tolerance=1e-5,
+            max_iterations=64 if precondition == "tridiag" else 200,
+            tolerance=1e-5, preconditioner=precondition,
         )
         x_new = x + step
         c_new = cost_only(x_new)
