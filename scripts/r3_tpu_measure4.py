@@ -115,9 +115,9 @@ def csum(out):
 
 
 def chain(label, stage, K=32, n=3):
-    if SMOKE:
-        K, n = 2, 1
     """Time a K-deep dependent chain of `stage(eps)`; report ms per call."""
+    if SMOKE:
+        K, n = 2, 1   # smoke override: tiny chain, caller K/n ignored
 
     @jax.jit
     def loop(seed):
@@ -147,9 +147,18 @@ r["em_refit"] = chain(
     "em_refit",
     lambda e: em_input.endpoint_adjust_batch(
         world0 + e, mask, jnp.stack([sel4[0:2], sel4[2:4]])))
+from hitl_slam_tpu.models.hitl.ordering import MIN_POSE_INLIERS
+
+from hitl_slam_tpu.core.state import CorrectionType
+
+# same traced min_inliers expression as cycle_step (cycle.py:106-108), so
+# the profiled program matches the in-cycle one exactly
+_is_point = ctype4 == int(CorrectionType.POINT)
 r["ordering"] = chain(
     "ordering",
-    lambda e: order_on_device(counts0[:, 0], counts0[:, 1], refit0 + e))
+    lambda e: order_on_device(
+        counts0[:, 0], counts0[:, 1], refit0 + e,
+        min_inliers=jnp.where(_is_point, 0, MIN_POSE_INLIERS)))
 r["explicit"] = chain(
     "explicit",
     lambda e: constraint_deltas(
@@ -165,6 +174,13 @@ r["backprop"] = chain(
     "backprop",
     lambda e: backprop(poses1 + e, covs, C0, o0.bp_min, o0.bp_max))
 r["build"] = chain("build", lambda e: build_problem(poses2 + e, table2))
+# lm_only: the solve on a PRECOMPUTED problem, so 'build' is not counted
+# twice in the stage sum (build_problem depends on the perturbed poses, so
+# the lm stage below still rebuilds per link — kept for the in-cycle shape,
+# but excluded from the reconciliation)
+prob2 = build_problem(poses2, table2)
+r["lm_only"] = chain(
+    "lm_only", lambda e: lm_solve(prob2, poses2 + e), K=16)
 r["lm"] = chain(
     "lm", lambda e: lm_solve(build_problem(poses2 + e, table2), poses2 + e),
     K=16)
@@ -188,7 +204,14 @@ def full(e):
 
 r["cycle"] = chain("cycle", full, K=16)
 
-known = sum(v for k, v in r.items() if k != "cycle")
-print(f"\nsum of stages = {known:.3f} ms vs full cycle {r['cycle']:.3f} ms",
+# reconciliation: one copy of each in-cycle stage — 'lm' (which includes
+# its own build_problem) stands in for build+solve, so the standalone
+# 'build' and 'lm_only' stages are excluded to avoid double counting.
+# NOT profiled: the cycle's SECOND em_scan (the inlier-count pass at the
+# refit segments, cycle.py:95-100) — add ~one em_verify to the sum.
+known = sum(v for k, v in r.items()
+            if k not in ("cycle", "build", "lm_only"))
+print(f"\nsum of stages = {known:.3f} ms (+ ~{r['em_verify']:.3f} for the "
+      f"unprofiled second em_scan) vs full cycle {r['cycle']:.3f} ms",
       flush=True)
 print("MEASURE4 DONE", flush=True)
