@@ -181,6 +181,11 @@ def main():
                  odometry=m.odometry, constraint_capacity=CAPACITY)
         times, reports = [], []
         eng.solve_snapshots = []
+        # the accepted (ctype, selection) sequence, each selection sketched
+        # against the poses THAT cycle saw — replaying exactly these through
+        # queue_chain reproduces the session as one fused device program
+        # (the pipelined headline below)
+        eng.accepted_inputs = []
         for s in specs:
             # the 'human' sketches on the map as currently repaired
             try:
@@ -203,6 +208,8 @@ def main():
                     np.asarray(eng.last_pre_solve_poses, np.float64),
                     eng.num_constraints,
                 ))
+                eng.accepted_inputs.append((int(s["ctype"]),
+                                            np.asarray(sel, np.float32)))
         return eng, times, reports
 
     def gt_error(poses):
@@ -336,60 +343,47 @@ def main():
         # primary JSON line prints
         return (time.perf_counter() - t_start) < 20 * 60
     pipelined_ms = big_solve_ms = replica_ms = -1.0
+    chain_accepted, chain_lm_iters = [], []
     n_replicas = 32
     import jax as _jax
     import jax.numpy as jnp
-
-    from hitl_slam_tpu.models.hitl.cycle import cycle_step
 
     try:
         if not extras_ok():
             raise TimeoutError('budget')
         st = eng.state
-        # the chain REPLAYS a queued burst against the INITIAL drifted map:
-        # selections must be sketched on the SAME poses the chain starts
-        # from, or cycle_step's gates reject silently (measured: on the
-        # post-repair state the laps coincide and the ordering stage
-        # rejects interleaved selections; with drifted-map clicks against
-        # repaired poses the 5 cm verify gate rejects at small scales) —
-        # either way the headline would time no-op cycles
-        sel_cycle = [jnp.asarray(synthesize_correction(
-            m, s["corrected"], s["anchor"], s["cw"], s["aw"],
-            corrected_span=s["cspan"], anchor_span=s["aspan"],
-            poses=np.asarray(m.poses)), jnp.float32) for s in specs[:2]]
+        # the chain REPLAYS the timed session's ACCEPTED corrections as one
+        # fused device program: each selection was sketched against the
+        # poses its cycle saw (captured in run_session), so every chained
+        # cycle re-verifies, re-orders, instantiates rows, and runs its
+        # full LM — the headline times real accepted work, asserted
+        # per-cycle below, not no-op gate rejections. warm_start_mu stays
+        # OFF: carrying a converged cycle's (tiny) exit damping into the
+        # next correction's solve was measured to INCREASE iterations
+        # ([6,20,15,12] warm vs [6,12,10,10] cold on this chain) — each
+        # correction adds constraint rows, so the previous problem's
+        # curvature underestimates the new one's.
+        from hitl_slam_tpu.models.hitl.cycle import queue_chain
 
-        NCHAIN = 4  # 4 x ~3k pair-grid rows stays within the 16384 table
-
-        # ONE fused program for the whole chain (lax.fori_loop over cycles,
-        # per-cycle selections gathered from a stacked array): measures what
-        # the chip does with zero per-cycle dispatch. A Python loop of 4
-        # jitted cycle_step calls was measured at ~10-11 ms/cycle against
-        # ~2.7-4.6 ms for the same chain fused — the difference is pure
-        # per-dispatch overhead of this environment's remote relay.
-        from jax import lax as _lax
-
-        sel_stack = jnp.stack(
-            [sel_cycle[k % len(sel_cycle)] for k in range(NCHAIN)])
+        acc_inputs = eng.accepted_inputs
+        NCHAIN = min(4, len(acc_inputs))  # 4 x ~3k rows fits the 16384 table
+        ctypes_chain = jnp.asarray([c for c, _ in acc_inputs[:NCHAIN]],
+                                   jnp.int32)
+        sels_chain = jnp.stack([jnp.asarray(s, jnp.float32)
+                                for _, s in acc_inputs[:NCHAIN]])
 
         @_jax.jit
         def chained(poses, covs, table, n0):
-            ctype = jnp.asarray(4, jnp.int32)
-
-            def body(k, carry):
-                poses, covs, table, n = carry
-                out = cycle_step(st.points, st.point_mask, poses, covs,
-                                 table, ctype, sel_stack[k], n)
-                return (out.poses, out.covariances, out.constraints,
-                        n + out.num_new_constraints)
-
-            poses, covs, table, n = _lax.fori_loop(
-                0, NCHAIN, body, (poses, covs, table, n0))
-            # scalar checksums computed IN-PROGRAM: fetching them forces all
+            poses2, covs2, table2, n_end, per = queue_chain(
+                st.points, st.point_mask, poses, covs, table,
+                ctypes_chain, sels_chain, n0, warm_start_mu=False)
+            # scalar checksum computed IN-PROGRAM: fetching it forces all
             # the work without dispatching a separate reduction program
             # (which would pay its own ~5-10 ms relay dispatch overhead).
-            # n rides along so the harness can ASSERT the chain did real
-            # work (constraints were instantiated, cycles not no-ops)
-            return poses, covs, jnp.sum(poses) + jnp.sum(covs), n
+            # per rides along so the harness can ASSERT every chained cycle
+            # accepted (verified, ordered, finite solve) — not a no-op.
+            return (poses2, covs2, jnp.sum(poses2) + jnp.sum(covs2),
+                    n_end, per)
 
         # warmup then timed: state stays on device across all chained cycles;
         # start from a FRESH constraint table (same shape -> same compiled
@@ -401,19 +395,20 @@ def main():
         c0v = jnp.asarray(m.covariances, jnp.float32)
         t0v = _CT.empty(CAPACITY)
         n0 = jnp.asarray(0, jnp.int32)
-        outp, outc, chk, nchain = chained(p0, c0v, t0v, n0)
-        _jax.block_until_ready((outp, outc))
-        if int(nchain) <= 0:
+        outp, outc, chk, nchain, per = chained(p0, c0v, t0v, n0)
+        chain_accepted = np.asarray(per[0]).tolist()
+        chain_lm_iters = np.asarray(per[4]).tolist()
+        if not all(chain_accepted):
             raise RuntimeError(
-                "pipelined chain instantiated ZERO constraints - cycles "
-                "were rejected; the headline would time no-ops")
+                f"pipelined chain had rejected cycles {chain_accepted} - "
+                "the headline would time no-op gate rejections")
         # NOTES.md timing trap: force the work by fetching the in-program
         # checksum; vary the inputs per sample
         pipe_samples = []
         for k in range(3):
             pk = p0 + 1e-6 * (k + 1)
             t0 = time.perf_counter()
-            outp, outc, chk, nchain = chained(pk, c0v, t0v, n0)
+            outp, outc, chk, nchain, per = chained(pk, c0v, t0v, n0)
             _ = float(chk)
             pipe_samples.append((time.perf_counter() - t0) * 1e3 / NCHAIN)
         pipelined_ms = min(pipe_samples)
@@ -554,13 +549,15 @@ def main():
     try:
         if not extras_ok() or smoke:
             raise TimeoutError('budget')
+        # chunk=8 measured best for W=80 on TPU (r4: 1642 ms vs 1840 at
+        # chunk=4, 2231 at chunk=2 on the 1078-node scale map)
         w80 = EnmlOptions(max_history=80)
         out80 = checkerboard_localize(est.points, est.normals,
-                                      est.point_mask, est.poses, w80, chunk=2)
+                                      est.point_mask, est.poses, w80, chunk=8)
         force_fetch(out80)
         t0 = time.perf_counter()
         out80 = checkerboard_localize(est.points + 1e-6, est.normals,
-                                      est.point_mask, est.poses, w80, chunk=2)
+                                      est.point_mask, est.poses, w80, chunk=8)
         force_fetch(out80)
         enml_w80_ms = (time.perf_counter() - t0) * 1e3
     except Exception as e:
@@ -614,12 +611,12 @@ def main():
         w80_l = EnmlOptions(max_history=80)
         out_w = checkerboard_localize(est_l.points, est_l.normals,
                                       est_l.point_mask, est_l.poses, w80_l,
-                                      chunk=2)
+                                      chunk=8)
         force_fetch(out_w)
         t0 = time.perf_counter()
         out_w = checkerboard_localize(estl_pts_p, est_l.normals,
                                       est_l.point_mask, est_l.poses, w80_l,
-                                      chunk=2)
+                                      chunk=8)
         force_fetch(out_w)
         w80_ms = (time.perf_counter() - t0) * 1e3
         xla_an["enml_scale_checkerboard"] = xla_analyze(
@@ -628,7 +625,7 @@ def main():
             measured_ms=ck_ms)
         xla_an["enml_scale_w80"] = xla_analyze(
             checkerboard_localize, est_l.points, est_l.normals,
-            est_l.point_mask, est_l.poses, w80_l, chunk=2,
+            est_l.point_mask, est_l.poses, w80_l, chunk=8,
             measured_ms=w80_ms)
         enml_scale = {
             "enml_scale_nodes": int(nodes_l),
@@ -984,6 +981,11 @@ def main():
             "xla_analysis": xla_an,
             "bag_ingest_mb_s": round(bag_ingest_mb_s, 1),
             "pipelined_cycle_ms": round(pipelined_ms, 2),
+            # per-cycle evidence that the pipelined chain timed real work:
+            # every chained cycle must have accepted (asserted above), and
+            # each ran this many LM iterations (warm-started damping)
+            "pipelined_chain_accepted": chain_accepted,
+            "pipelined_chain_lm_iterations": chain_lm_iters,
             "device_cycle_ms": round(device_cycle_ms, 2),
             "interactive_cycle_ms": round(tpu_ms, 2),
             "interactive_speculative_ms": round(interactive_spec_ms, 2),

@@ -498,7 +498,7 @@ def pair_match_factors(
     std_dev: float = LASER_STD_DEV,
     correlation_factor: float = POINT_CORRELATION_FACTOR,
     min_pair_matches: int = MIN_PAIR_MATCHES,
-    pair_chunk: int = 512,
+    pair_chunk: int | None = None,
     bucket: int = 64,
     max_cells: int | None = None,
     elect_impl: str = "top_k",
@@ -537,6 +537,12 @@ def pair_match_factors(
     M = P * N
     dtype = points.dtype
     INT_MAX = jnp.iinfo(jnp.int32).max
+    if pair_chunk is None:
+        # bigger lax.map batches amortize per-step overhead when the [N,N]
+        # tiles are small (r4 TPU A/B at P=8192/N=40: 297 ms at 512 ->
+        # 261 at 2048, flat at 4096); at N>64 the [chunk,N,N] tile is
+        # already 10s of MB, keep the measured-good 512
+        pair_chunk = 2048 if N <= 64 else 512
 
     world = pose_to_world(poses[:, None, :], points)
     wnrm = rotate(poses[:, 2][:, None], normals)

@@ -70,10 +70,16 @@ def pcg_solve(
         return out
 
     if preconditioner == "tridiag":
-        from .tridiag import bcr_solve
+        # factor ONCE per linear solve, apply per CG iteration: the
+        # matrix-dependent elimination operators are shared across all
+        # right-hand sides, so each apply is matvec-only (measured ~3x
+        # cheaper than the fused bcr_solve at P=8192)
+        from .tridiag import bcr_apply, bcr_factor
+
+        fac = bcr_factor(D, U)
 
         def prec(r):
-            return bcr_solve(D, U, r)
+            return bcr_apply(fac, r)
     else:
         Minv = inv3(D)  # block-Jacobi preconditioner
 

