@@ -198,7 +198,14 @@ def queue_chain(
         table2 = lax.cond(ok, lambda: out.constraints, lambda: table)
         n_new = jnp.where(ok, out.num_new_constraints, 0)
         # damping warm-start carry: only an ACCEPTED cycle's exit damping
-        # describes the current state's curvature
+        # describes the current state's curvature. Measured (r4, CPU smoke
+        # chain of 4 distinct corrections): warm start INCREASES iteration
+        # counts ([6,20,15,12] vs [6,12,10,10] cold) — each correction adds
+        # constraint rows, so the previous solve's converged (tiny) mu
+        # underestimates the new problem's curvature and early steps get
+        # rejected. Hence the default is False; the knob remains for
+        # same-problem re-solves (e.g. tolerance continuation), where a
+        # carried mu is the right prior.
         mu2 = jnp.where(ok, out.lm_final_mu, mu)
         ys = (ok, out.verified, out.order_valid, n_new,
               out.lm_iterations, out.lm_initial_cost, out.lm_final_cost)

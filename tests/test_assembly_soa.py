@@ -10,6 +10,10 @@ from hitl_slam_tpu.solver import joint as J
 from hitl_slam_tpu.solver.assembly_soa import (normal_equations_soa,
                                                soa_constants)
 from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
+import pytest
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 def _chain_poses(rng, n):

@@ -10,6 +10,9 @@ from hitl_slam_tpu.core.state import CorrectionType, SingleInput
 from hitl_slam_tpu.io import logs, stfs
 from hitl_slam_tpu.io.figure8 import generate_figure8, synthesize_correction
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 @pytest.fixture(scope="module")
 def session_files(tmp_path_factory):

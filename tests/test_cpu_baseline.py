@@ -8,6 +8,10 @@ from hitl_slam_tpu.baselines.cpu_lm import cpu_lm_solve
 from hitl_slam_tpu.core.state import ConstraintTable, CorrectionType
 from hitl_slam_tpu.solver import joint as J
 from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
+import pytest
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 def _chain(rng, n):

@@ -8,6 +8,9 @@ from hitl_slam_tpu.gui.display import display_poses, display_selection
 from hitl_slam_tpu.io.figure8 import generate_figure8, synthesize_correction
 from hitl_slam_tpu.models.hitl.engine import HitLSLAM
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 def test_display_poses_drawlist(small_state):
     dl = display_poses(small_state, max_points=500)

@@ -107,6 +107,7 @@ def test_colinear_correction_cycle(session, drifted_map):
     assert after < before, (before, after)
 
 
+@pytest.mark.full
 def test_run_via_click_state_machine(session, drifted_map):
     """Drive the same correction through addCorrectionPoints + run()."""
     m = drifted_map
@@ -124,6 +125,7 @@ def test_run_via_click_state_machine(session, drifted_map):
     assert session.selected_points == []
 
 
+@pytest.mark.full
 def test_speculative_dispatch_hit_and_equivalence(drifted_map):
     """The cycle dispatched at selection-complete time (during the human
     pause) must be consumed by run() when the state is unchanged, and give
@@ -154,6 +156,7 @@ def test_speculative_dispatch_hit_and_equivalence(drifted_map):
     np.testing.assert_array_equal(results[True], results[False])
 
 
+@pytest.mark.full
 def test_speculative_dispatch_invalidated_by_state_change(drifted_map):
     """A stale speculative dispatch (poses changed after the selection
     completed) must NOT be consumed."""
@@ -177,6 +180,7 @@ def test_speculative_dispatch_invalidated_by_state_change(drifted_map):
     assert eng.speculative_hits == 0       # stale dispatch not reused
 
 
+@pytest.mark.full
 def test_undo_restores_poses(session, drifted_map):
     m = drifted_map
     inp = _make_correction(m, CorrectionType.COLINEAR)
@@ -192,6 +196,7 @@ def test_undo_restores_poses(session, drifted_map):
     assert not session.undo()
 
 
+@pytest.mark.full
 def test_undo_after_post_optimize_reverts_refine_only(session, drifted_map):
     """post_optimize has no input-history entry; undo after it must revert
     the REFINE without marking the last human correction undone (review
@@ -218,6 +223,7 @@ def test_undo_after_post_optimize_reverts_refine_only(session, drifted_map):
     assert not session.undo()
 
 
+@pytest.mark.full
 def test_unverified_input_rejected(session):
     bogus = SingleInput(
         CorrectionType.COLINEAR, 0,
@@ -229,6 +235,7 @@ def test_unverified_input_rejected(session):
     assert "not verified" in report.reason
 
 
+@pytest.mark.full
 def test_undo_after_order_rejected_is_pose_noop(drifted_map):
     """The reference snapshots prev_poses_ BEFORE the ordering check
     (HitLSLAM.cpp:390), so undo after a verified-but-order-rejected input
@@ -270,6 +277,7 @@ def test_undo_after_order_rejected_is_pose_noop(drifted_map):
     np.testing.assert_allclose(eng.get_poses(), poses_before, atol=1e-6)
 
 
+@pytest.mark.full
 def test_dropped_rows_reported_on_full_table(drifted_map):
     """A too-small constraint table drops pair rows into the dump slot; the
     cycle report must surface the count (r1 weak item: silent truncation)."""
@@ -288,6 +296,7 @@ def test_dropped_rows_reported_on_full_table(drifted_map):
     assert not bool(np.asarray(t.active)[-1])
 
 
+@pytest.mark.full
 def test_run_queue_matches_sequential_replay(drifted_map):
     """The fused queue chain (cycle.queue_chain via engine.run_queue) must
     reproduce sequential replay_log bit-for-bit: same accept/reject flags,

@@ -5,12 +5,16 @@ import pytest
 
 from hitl_slam_tpu.io.figure8 import generate_raw_stream
 from hitl_slam_tpu.models.enml.driver import (
+
     EpisodeOptions,
     apply_noise_model,
     build_episodes,
     consistency_metric,
     localize_and_save,
 )
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 @pytest.fixture(scope="module")

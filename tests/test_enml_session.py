@@ -13,6 +13,9 @@ from hitl_slam_tpu.io.figure8 import generate_figure8, synthesize_correction
 from hitl_slam_tpu.models.enml.localizer import EnmlOptions
 from hitl_slam_tpu.models.enml.session import EnmlSession, loop_inv_sigmas
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 OPTS = EnmlOptions(max_history=8, gn_iterations=6)
 
 

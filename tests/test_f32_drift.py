@@ -18,6 +18,9 @@ import pytest
 
 from hitl_slam_tpu.core.state import CorrectionType, SingleInput
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 def test_session_f32_vs_f64_divergence_4096_poses():
     from hitl_slam_tpu.baselines.cpu_lm import cpu_lm_solve

@@ -20,6 +20,9 @@ import pytest
 
 import jax.numpy as jnp
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 def _rot(th):
     c, s = np.cos(th), np.sin(th)

@@ -18,7 +18,11 @@ import numpy as np
 import pytest
 
 from hitl_slam_tpu.gui.live import (KINECT_SCAN_COLOR, LIDAR_POINT_COLOR,
+
                                     MAP_LINE_COLOR, LiveView, load_atlas)
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 PORT = 8793
 

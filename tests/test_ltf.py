@@ -6,7 +6,11 @@ import pytest
 
 from hitl_slam_tpu.io.figure8 import generate_figure8
 from hitl_slam_tpu.ops.ltf import (localize_against_map, match_segments,
+
                                    point_segment_geometry)
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 @pytest.fixture(scope="module")

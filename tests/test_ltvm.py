@@ -11,6 +11,9 @@ from hitl_slam_tpu.models.ltvm.curator import CuratorParams, LongTermVectorMap
 from hitl_slam_tpu.ops.ransac import RansacParams, extract_segments
 from hitl_slam_tpu.ops.sdf import SdfParams, build_sdf, dynamic_mask
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 @pytest.fixture(scope="module")
 def clean_map():

@@ -13,6 +13,9 @@ import pytest
 
 from hitl_slam_tpu.utils.luaconfig import load_lua_config
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 REF_CFG_DIR = "/root/reference/HitL-SLAM/config"
 REF_CFGS = [os.path.join(REF_CFG_DIR, n)
             for n in ("common.cfg", "robot.cfg",

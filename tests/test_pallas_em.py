@@ -5,6 +5,10 @@ import numpy as np
 
 from hitl_slam_tpu.models.hitl import em_input
 from hitl_slam_tpu.ops.pallas_em import em_scan
+import pytest
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 def test_em_scan_matches_xla(rng, small_state):

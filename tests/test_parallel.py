@@ -11,6 +11,9 @@ from hitl_slam_tpu.parallel.sharded_solver import sharded_lm_solve
 from hitl_slam_tpu.solver import joint as J
 from hitl_slam_tpu.solver.lm import LMConfig, solve_jit
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 def _chain_poses(rng, n):
     p = np.zeros((n, 3), np.float32)

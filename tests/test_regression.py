@@ -7,6 +7,10 @@ from hitl_slam_tpu.core.state import CorrectionType, SingleInput
 from hitl_slam_tpu.io import logs, stfs
 from hitl_slam_tpu.io.figure8 import generate_figure8, synthesize_correction
 from hitl_slam_tpu.models.hitl.engine import HitLSLAM
+import pytest
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 def _session(m):

@@ -6,6 +6,9 @@ import pytest
 from hitl_slam_tpu.io import rosbag as rb
 from hitl_slam_tpu.io.figure8 import generate_raw_stream
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 @pytest.fixture(scope="module")
 def stream():

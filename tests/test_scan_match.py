@@ -6,10 +6,14 @@ import pytest
 
 from hitl_slam_tpu.io.figure8 import generate_figure8
 from hitl_slam_tpu.ops.scan_match import (
+
     ScanMatchParams,
     build_likelihood_field,
     correlative_match,
 )
+
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
 
 
 @pytest.fixture(scope="module")

@@ -7,6 +7,9 @@ import pytest
 
 from hitl_slam_tpu.ops import correspond as C
 
+# heavy tier: excluded from the smoke run (-m 'not full', README Testing)
+pytestmark = pytest.mark.full
+
 
 def _two_pose_cloud(rng, n=64, offset=0.05):
     """Two poses observing the same wall, slightly offset."""
