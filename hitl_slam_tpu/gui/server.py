@@ -68,7 +68,14 @@ class GuiServer:
             if self._last_frame is not None:
                 await ws.send(self._last_frame)
             async for msg in ws:
-                ev = parse_event(msg)
+                try:
+                    ev = parse_event(msg)
+                except Exception as e:  # malformed client message: drop it,
+                    # keep the connection — a ROS subscriber would skip a
+                    # bad message, not tear down the topic (1011 close
+                    # observed driving the bridge with a partial event)
+                    print(f"gui: dropped malformed event: {e!r}", flush=True)
+                    continue
 
                 def locked(fn, *a):
                     with self._cb_lock:

@@ -181,6 +181,43 @@ def test_gui_server_roundtrip():
     assert received["frame"]["points"] == [[9.0, 9.0]]
 
 
+def test_gui_server_survives_malformed_events():
+    """A malformed client message must be dropped, not close the connection
+    with 1011 (a ROS subscriber skips a bad message; observed driving the
+    bridge with a mouse_click missing its mouse_down/mouse_up fields)."""
+    import asyncio
+
+    import websockets
+
+    from hitl_slam_tpu.gui.drawlist import KeyboardEvent
+    from hitl_slam_tpu.gui.server import GuiServer
+
+    keys = []
+    server = GuiServer(port=8792)
+    server.on_keyboard = keys.append
+    server.start()
+    try:
+        async def client():
+            async with websockets.connect("ws://127.0.0.1:8792") as ws:
+                # three malformed shapes: missing fields, bad json, bad type
+                await ws.send(json.dumps({"type": "mouse_click",
+                                          "x": 1.0, "y": 2.0,
+                                          "modifiers": 4}))
+                await ws.send("{not json")
+                await ws.send(json.dumps({"type": "keyboard"}))
+                # the connection must still be alive and dispatching
+                await ws.send(KeyboardEvent(0x50).to_json())
+                for _ in range(50):
+                    if keys:
+                        return
+                    await asyncio.sleep(0.05)
+
+        asyncio.run(client())
+    finally:
+        server.stop()
+    assert keys and keys[0].keycode == 0x50
+
+
 def test_cli_enml_synthetic(tmp_path, capsys):
     from hitl_slam_tpu.cli_enml import main as enml_main
 
