@@ -343,6 +343,8 @@ def main():
         # primary JSON line prints
         return (time.perf_counter() - t_start) < 20 * 60
     pipelined_ms = big_solve_ms = replica_ms = -1.0
+    solve_only_ms = -1.0
+    solve_only_list = []
     chain_accepted, chain_lm_iters = [], []
     n_replicas = 32
     import jax as _jax
@@ -421,6 +423,49 @@ def main():
 
     except Exception as e:
         import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
+
+    try:
+        if not extras_ok():
+            raise TimeoutError('budget')
+        # ---- device SOLVE-ONLY on the CPU bound's exact snapshots ----
+        # cpu_optimized times ONLY the joint LM solve (banded Cholesky) per
+        # accepted cycle; the full-cycle ratios above divide that by a
+        # device number that also pays EM sweeps + ordering + explicit +
+        # backprop + table scatter. This is the same-scope ratio.
+        import dataclasses as _dc
+
+        import jax as _jx
+        import jax.numpy as _jn
+
+        from hitl_slam_tpu.solver.joint import build_problem as _bp
+        from hitl_slam_tpu.solver.lm import (LMConfig as _LMC,
+                                             solve as _lm_solve)
+
+        @_jx.jit
+        def _solve_only(poses0, table):
+            prob = _bp(poses0, table)
+            r = _lm_solve(prob, poses0, _LMC())
+            return r.poses, r.final_cost, r.iterations
+
+        act_full = np.asarray(tbl.active)
+        for start_poses, n_active in eng.solve_snapshots:
+            act = act_full.copy()
+            act[n_active:] = False
+            tblm = _dc.replace(tbl, active=_jn.asarray(act))
+            sp = _jn.asarray(start_poses, _jn.float32)
+            out = _solve_only(sp, tblm)
+            force_fetch(out)
+            snap_samples = []
+            for k in range(3):
+                t0 = time.perf_counter()
+                out = _solve_only(sp + _jn.float32(1e-6 * (k + 1)), tblm)
+                _ = float(out[1])
+                snap_samples.append((time.perf_counter() - t0) * 1e3)
+            solve_only_list.append(min(snap_samples))
+        solve_only_ms = float(np.median(solve_only_list))
+    except Exception as e:
+        import sys; print(f'[bench] solve-only extras skipped: {e}',
+                          file=sys.stderr)
 
     try:
         if not extras_ok():
@@ -1041,6 +1086,18 @@ def main():
             "cpu_optimized_final_cost_last": cpu_cost,
             "vs_optimized_cpu_interactive": round(cpu_solve_ms / tpu_ms, 2),
             "vs_optimized_cpu": round(cpu_solve_ms / device_cycle_ms, 2),
+            "device_solve_only_ms_per_cycle": [
+                round(t, 2) for t in solve_only_list],
+            "device_solve_only_ms_median": round(solve_only_ms, 2),
+            # same-scope ratio: both sides time ONLY the joint LM solve of
+            # each accepted cycle's snapshot (the solve the reference's
+            # ceres::Solve call covers, JointOptimization.cpp:1064-1138);
+            # vs_optimized_cpu divides the solve-only CPU bound by our FULL
+            # cycle (EM sweeps + ordering + explicit + backprop + scatter +
+            # build + LM) and so understates the solver comparison
+            "vs_optimized_cpu_solve_only": round(
+                cpu_solve_ms / solve_only_ms, 2)
+            if solve_only_ms > 0 else -1,
             "cpu_baselines": "generic = scipy TRF, sparse finite-diff "
                              "Jacobians (the Ceres-stack analog; headline "
                              "vs_baseline; likely SLOWER than real Ceres "
