@@ -441,11 +441,29 @@ def main():
         from hitl_slam_tpu.solver.lm import (LMConfig as _LMC,
                                              solve as _lm_solve)
 
+        from jax import lax as _lax
+
+        # one dispatch through the relay costs ~24 ms — more than the solve
+        # itself (measured scripts/r4_tpu_measure3.py t3: 26.5 ms standalone
+        # vs 9.5 ms for a FULL cycle in-chain). Amortize: repeat the solve
+        # S_REP times device-side on perturbed starts (each consuming the
+        # previous result so nothing reorders or folds), fetch one scalar.
+        S_REP = 8
+
         @_jx.jit
-        def _solve_only(poses0, table):
-            prob = _bp(poses0, table)
-            r = _lm_solve(prob, poses0, _LMC())
-            return r.poses, r.final_cost, r.iterations
+        def _solve_only_chain(poses0, table):
+            def rep(k, carry):
+                acc, _ = carry
+                p = (poses0 + 1e-6 * (k + 1).astype(poses0.dtype)
+                     + acc * 0.0)
+                prob = _bp(p, table)
+                r = _lm_solve(prob, p, _LMC())
+                return (_jn.sum(r.poses), r.final_cost)
+
+            return _lax.fori_loop(
+                0, S_REP, rep,
+                (_jn.asarray(0.0, poses0.dtype),
+                 _jn.asarray(0.0, poses0.dtype)))
 
         act_full = np.asarray(tbl.active)
         for start_poses, n_active in eng.solve_snapshots:
@@ -453,14 +471,15 @@ def main():
             act[n_active:] = False
             tblm = _dc.replace(tbl, active=_jn.asarray(act))
             sp = _jn.asarray(start_poses, _jn.float32)
-            out = _solve_only(sp, tblm)
-            force_fetch(out)
+            out = _solve_only_chain(sp, tblm)
+            _ = float(out[0])
             snap_samples = []
-            for k in range(3):
+            for k in range(2):
                 t0 = time.perf_counter()
-                out = _solve_only(sp + _jn.float32(1e-6 * (k + 1)), tblm)
-                _ = float(out[1])
-                snap_samples.append((time.perf_counter() - t0) * 1e3)
+                out = _solve_only_chain(sp + _jn.float32(1e-7 * (k + 1)),
+                                        tblm)
+                _ = float(out[0])
+                snap_samples.append((time.perf_counter() - t0) * 1e3 / S_REP)
             solve_only_list.append(min(snap_samples))
         solve_only_ms = float(np.median(solve_only_list))
     except Exception as e:
@@ -791,6 +810,14 @@ def main():
                                                            2)
             hitl8192["post_optimize_8192_pair_ms_samples"] = [
                 round(t, 1) for t in r8_samples]
+            hitl8192["post_optimize_8192_variance_note"] = (
+                "r3's 6.3x spread (1,856 vs 11,764 ms, identical code) was "
+                "cold-cache sessions: first dispatch of each refine program "
+                "pays remote-relay recompiles/loads. Warm-cache steady "
+                "state decomposed in scripts/r4_tpu_measure2.py: match 255 "
+                "ms + 5-iter PCG LM 482 ms at 190k matches; per-sample "
+                "numbers recorded above so host/relay variance stays "
+                "visible")
             xla_an["refine_8192_pair"] = xla_analyze(
                 _phr, st8.points, st8.normals, st8.point_mask, st8.poses,
                 st8.constraints, measured_ms=min(r8_samples), **_r8)

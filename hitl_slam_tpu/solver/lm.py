@@ -135,11 +135,22 @@ def solve(
         nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
         mu = jnp.clip(mu, 1e-32, 1e32)
 
-        # Ceres-style termination: relative function decrease, relative step
-        # size, or trust-region collapse (mu runaway means f32 noise floor)
+        # Ceres-style termination: relative function decrease (only
+        # meaningful on an accepted step), relative step size, or
+        # trust-region collapse (mu runaway means f32 noise floor).
+        # The step-size check deliberately applies to REJECTED steps too,
+        # as Ceres's ParameterToleranceReached does each iteration: a
+        # rejected tiny step means the damped system already moves x by
+        # noise, and every future retry (larger mu) shrinks the step
+        # further — without this, a solve that reaches the f32 noise floor
+        # between the function-tolerance grid points burns ~10 iterations
+        # rejecting while mu climbs 20 orders of magnitude to mu_collapse
+        # (measured r4 on TPU: headline chain cycle iterations [5,19,6,7]
+        # -> [1,15,6,7] at identical GT error, traces in
+        # scripts/r4_tpu_measure3.py).
         fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
         xnorm = jnp.linalg.norm(x)
-        sdone = accept & (
+        sdone = (
             jnp.linalg.norm(step)
             <= config.parameter_tolerance * (xnorm + config.parameter_tolerance)
         )
