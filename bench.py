@@ -374,18 +374,51 @@ def main():
         sels_chain = jnp.stack([jnp.asarray(s, jnp.float32)
                                 for _, s in acc_inputs[:NCHAIN]])
 
+        # from-scratch burst: ONE dispatch runs the honest 4-correction
+        # session J_REP times, each repetition from the initial drifted
+        # state (fresh table, initial poses + a j-dependent perturbation
+        # seeded by the previous repetition's checksum, so the repetitions
+        # are sequentially data-dependent and none can be elided or
+        # reordered). Rationale (scripts/r3_tpu_measure4.py, post-r4-LM-fix):
+        # the fused cycle itself is ~4.7 ms, but ONE dispatch of the big
+        # chain program through this env's remote relay pays ~24 ms of
+        # launch overhead — timing a single 4-cycle dispatch (as r4's first
+        # headline did) folds ~5-6 ms/cycle of relay launch into a number
+        # that claims to be device-resident. A colocated production host
+        # would not pay it; the per-dispatch cost stays visible in
+        # interactive_cycle_ms / interactive_dispatch_overhead_ms below.
+        J_REP = 16
+        from jax import lax as _lax_mod
+
+        _lax_fori = _lax_mod.fori_loop
+
         @_jax.jit
         def chained(poses, covs, table, n0):
-            poses2, covs2, table2, n_end, per = queue_chain(
-                st.points, st.point_mask, poses, covs, table,
-                ctypes_chain, sels_chain, n0, warm_start_mu=False)
-            # scalar checksum computed IN-PROGRAM: fetching it forces all
-            # the work without dispatching a separate reduction program
-            # (which would pay its own ~5-10 ms relay dispatch overhead).
-            # per rides along so the harness can ASSERT every chained cycle
-            # accepted (verified, ordered, finite solve) — not a no-op.
-            return (poses2, covs2, jnp.sum(poses2) + jnp.sum(covs2),
-                    n_end, per)
+            K = int(ctypes_chain.shape[0])
+            per0 = (jnp.zeros((K,), bool), jnp.zeros((K,), bool),
+                    jnp.zeros((K,), bool), jnp.zeros((K,), jnp.int32),
+                    jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.float32),
+                    jnp.zeros((K,), jnp.float32))
+
+            def rep(j, carry):
+                chk_prev, _, _, _ = carry
+                pj = (poses + chk_prev * jnp.float32(1e-30)
+                      + jnp.float32(1e-6) * j)
+                poses2, covs2, _t2, n_end, per = queue_chain(
+                    st.points, st.point_mask, pj, covs, table,
+                    ctypes_chain, sels_chain, n0, warm_start_mu=False)
+                # scalar checksum computed IN-PROGRAM: fetching it forces
+                # all the work without dispatching a separate reduction
+                # program (which would pay its own relay dispatch overhead)
+                chk = jnp.sum(poses2) + jnp.sum(covs2)
+                return (chk, poses2, n_end, per)
+
+            init = (jnp.float32(0.0), poses, n0, per0)
+            chk, poses2, n_end, per = _lax_fori(0, J_REP, rep, init)
+            # per is the LAST repetition's per-cycle stats; the harness
+            # ASSERTS every chained cycle accepted (verified, ordered,
+            # finite solve) — not a no-op.
+            return (poses2, chk, n_end, per)
 
         # warmup then timed: state stays on device across all chained cycles;
         # start from a FRESH constraint table (same shape -> same compiled
@@ -397,7 +430,7 @@ def main():
         c0v = jnp.asarray(m.covariances, jnp.float32)
         t0v = _CT.empty(CAPACITY)
         n0 = jnp.asarray(0, jnp.int32)
-        outp, outc, chk, nchain, per = chained(p0, c0v, t0v, n0)
+        outp, chk, nchain, per = chained(p0, c0v, t0v, n0)
         chain_accepted = np.asarray(per[0]).tolist()
         chain_lm_iters = np.asarray(per[4]).tolist()
         if not all(chain_accepted):
@@ -410,16 +443,17 @@ def main():
         for k in range(3):
             pk = p0 + 1e-6 * (k + 1)
             t0 = time.perf_counter()
-            outp, outc, chk, nchain, per = chained(pk, c0v, t0v, n0)
+            outp, chk, nchain, per = chained(pk, c0v, t0v, n0)
             _ = float(chk)
-            pipe_samples.append((time.perf_counter() - t0) * 1e3 / NCHAIN)
+            pipe_samples.append(
+                (time.perf_counter() - t0) * 1e3 / (NCHAIN * J_REP))
         pipelined_ms = min(pipe_samples)
         xla_an["cycle_chain"] = xla_analyze(
             chained, p0, c0v, t0v, n0,
-            measured_ms=pipelined_ms * NCHAIN)
+            measured_ms=pipelined_ms * NCHAIN * J_REP)
         if "flops" in xla_an.get("cycle_chain", {}):
             xla_an["cycle_chain"]["flops_per_cycle"] = (
-                xla_an["cycle_chain"]["flops"] / NCHAIN)
+                xla_an["cycle_chain"]["flops"] / (NCHAIN * J_REP))
 
     except Exception as e:
         import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
@@ -1053,9 +1087,19 @@ def main():
             "xla_analysis": xla_an,
             "bag_ingest_mb_s": round(bag_ingest_mb_s, 1),
             "pipelined_cycle_ms": round(pipelined_ms, 2),
+            "pipelined_semantics": (
+                "from-scratch burst: the 4 distinct accepted session "
+                "corrections fused as one queue_chain, repeated 16x "
+                "device-side from the initial drifted state with "
+                "sequential data dependencies between repetitions; ONE "
+                "dispatch, timed by fetching the in-program checksum. "
+                "Amortizes this env's ~24 ms per-dispatch relay launch "
+                "(reported separately as "
+                "interactive_dispatch_overhead_ms) out of the "
+                "device-resident number"),
             # per-cycle evidence that the pipelined chain timed real work:
-            # every chained cycle must have accepted (asserted above), and
-            # each ran this many LM iterations (warm-started damping)
+            # every chained cycle must have accepted (asserted above, last
+            # repetition's stats), and each ran this many LM iterations
             "pipelined_chain_accepted": chain_accepted,
             "pipelined_chain_lm_iterations": chain_lm_iters,
             "device_cycle_ms": round(device_cycle_ms, 2),
