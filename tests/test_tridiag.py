@@ -233,3 +233,64 @@ def test_lm_with_pcg_solver(rng):
     got = jax.jit(lambda pr, x: solve(pr, x, cfg, linear_solver=pcg_tridiag))(
         prob, poses)
     assert float(got.final_cost) <= float(ref.final_cost) * 1.05 + 1e-5
+
+
+def test_pallas_bcr_matches_dense(rng):
+    """solver/pallas_bcr.py (whole BCR as ONE kernel, interpret mode off
+    TPU) must agree with the dense solution and with bcr_solve."""
+    from hitl_slam_tpu.solver.pallas_bcr import bcr_solve_pallas
+
+    for n in (2, 7, 33, 128, 300):
+        D, U, b = _random_spd_tridiag(rng, n)
+        x_ref = np.linalg.solve(_dense(D, U), b.reshape(-1)).reshape(n, 3)
+        x = np.asarray(
+            bcr_solve_pallas(jnp.asarray(D, jnp.float32),
+                             jnp.asarray(U, jnp.float32),
+                             jnp.asarray(b, jnp.float32)))
+        np.testing.assert_allclose(x, x_ref, rtol=5e-3, atol=5e-3)
+        x_bcr = np.asarray(
+            bcr_solve(jnp.asarray(D, jnp.float32),
+                      jnp.asarray(U, jnp.float32),
+                      jnp.asarray(b, jnp.float32)))
+        np.testing.assert_allclose(x, x_bcr, rtol=1e-4, atol=1e-5)
+
+
+def test_lm_with_pallas_bcr_solver(rng):
+    """lm.solve(linear_solver=bcr_solve_pallas) reaches the same cost in
+    the same iterations as the XLA BCR default on a real joint problem."""
+    import jax
+
+    from hitl_slam_tpu.core.state import ConstraintTable
+    from hitl_slam_tpu.solver.joint import build_problem
+    from hitl_slam_tpu.solver.lm import LMConfig, solve
+    from hitl_slam_tpu.solver.pallas_bcr import bcr_solve_pallas
+
+    n = 64
+    p = np.zeros((n, 3), np.float32)
+    p[:, 2] = np.cumsum(rng.normal(0, 0.03, n)).astype(np.float32)
+    for i in range(1, n):
+        p[i, :2] = p[i - 1, :2] + [0.4 * np.cos(p[i - 1, 2]),
+                                   0.4 * np.sin(p[i - 1, 2])]
+    t = ConstraintTable.empty(8)
+    t = ConstraintTable(
+        ctype=t.ctype.at[0].set(2),
+        constrained=t.constrained.at[0].set(30),
+        anchor=t.anchor.at[0].set(3),
+        delta_parallel=t.delta_parallel.at[0].set(0.5),
+        delta_perpendicular=t.delta_perpendicular.at[0].set(-0.2),
+        delta_angle=t.delta_angle.at[0].set(0.1),
+        penalty_dir=t.penalty_dir.at[0].set(0.0),
+        active=t.active.at[0].set(True),
+    )
+    poses = jnp.asarray(p)
+    prob = build_problem(poses, t)
+    cfg = LMConfig(max_iterations=40)
+    ref = jax.jit(lambda pr, x: solve(pr, x, cfg))(prob, poses)
+    got = jax.jit(lambda pr, x: solve(pr, x, cfg,
+                                      linear_solver=bcr_solve_pallas))(
+        prob, poses)
+    assert int(got.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(float(got.final_cost),
+                               float(ref.final_cost), rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.poses), np.asarray(ref.poses),
+                               rtol=1e-4, atol=1e-5)
