@@ -39,9 +39,16 @@ def batched_solve(
     C = table.ctype.shape[1] if table.ctype.ndim > 1 else table.ctype.shape[0]
     use_onehot = B * P * C <= 384 * 1024 * 1024
 
+    # pin the XLA BCR here: vmap of the Pallas single-kernel BCR serializes
+    # one whole-kernel launch per replica (measured 446 ms for B=8 vs
+    # 109 ms for B=32 with the XLA solver, which batches across replicas
+    # inside each op) — the launch-overhead argument for the Pallas kernel
+    # inverts once there is a batch axis to amortize over
+    from ..solver.tridiag import bcr_solve
+
     def one(poses_b, table_b):
         problem = build_problem(poses_b, table_b, use_onehot=use_onehot)
-        return lm_solve(problem, poses_b, config)
+        return lm_solve(problem, poses_b, config, linear_solver=bcr_solve)
 
     return jax.vmap(one)(poses, table)
 

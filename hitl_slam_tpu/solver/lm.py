@@ -70,9 +70,16 @@ def solve(
 ) -> LMResult:
     """Run LM from poses0. Static over pose count; jit/vmap-safe.
 
-    Default linear solver: block cyclic reduction. Measured on v5e hardware
-    (full repair workload, not microbenchmarks):
-      - BCR: ~47 ms/repair cycle at P=1024; 8192-pose 20-iter solve 132 ms.
+    Default linear solver: block cyclic reduction — the single-kernel
+    Pallas version on TPU, the XLA-op version elsewhere (identical algebra;
+    pallas_bcr.py runs interpret-mode off TPU but that is for tests, not
+    speed). Measured on v5e hardware (full repair workload, not
+    microbenchmarks):
+      - Pallas BCR: full LM body in-loop 0.64 -> 0.42 ms/iter at P=1024
+        (r4, scripts/r4_tpu_measure5.py) — the solve is dispatch-bound and
+        one kernel launch beats ~10 levels of small XLA ops.
+      - XLA BCR: ~47 ms/repair cycle at P=1024; 8192-pose 20-iter solve
+        132 ms.
       - thomas scan: standalone microbenchmark looks 5x faster (36us vs
         191us), but INSIDE the LM while_loop each scan step costs ~15us and
         the cycle balloons to ~500 ms (8192-pose solve: 5.1 s). Sequential
@@ -80,9 +87,18 @@ def solve(
       - schur_solve (batched-dense MXU): TPU's jnp.linalg.solve is
         numerically weaker than the adjugate arithmetic and stalls the
         damping loop.
+    Escape hatch: HITL_NO_PALLAS_BCR=1 restores the XLA BCR on TPU.
     """
     if linear_solver is None:
-        linear_solver = bcr_solve
+        import os
+
+        if (jax.default_backend() == "tpu"
+                and not os.environ.get("HITL_NO_PALLAS_BCR")):
+            from .pallas_bcr import bcr_solve_pallas
+
+            linear_solver = bcr_solve_pallas
+        else:
+            linear_solver = bcr_solve
     dtype = poses0.dtype
     if use_soa:
         # SoA assembly: identical math in lane-major scalar form — avoids the
