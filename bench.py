@@ -1,8 +1,13 @@
 """Benchmark: full HitL repair iteration on a Figure8-scale map.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line to stdout (the LAST line, <=1,500 chars so a
+tail-window parser always gets it whole):
   {"metric": ..., "value": <ms per full repair iteration on TPU>,
-   "unit": "ms", "vs_baseline": <CPU-baseline ms / TPU ms>}
+   "unit": "ms", "vs_baseline": <CPU-baseline ms / TPU ms>,
+   "detail": {<one number per BASELINE.json config + vs_* ratios>}}
+The FULL record (per-cycle times, XLA cost analysis, every secondary
+section) is written to BENCH_DETAIL.json next to this file and echoed to
+stderr.
 
 Protocol (mirrors BASELINE.json configs #1/#2): a 2-lap Figure8-scale drifted
 map (~10^3 poses, ~10^5 points); a sequence of mixed human corrections
@@ -136,12 +141,34 @@ def main():
                                              1)
                 d["achieved_hbm_gbs"] = round(
                     calls * d["bytes_accessed"] / t_s / 1e9, 1)
+                # bytes model (VERDICT r4 weak #3: refine_8192_pair read an
+                # impossible 143.5% of peak BW): cost_analysis counts each
+                # op's operand/result bytes BEFORE fusion, so values a fused
+                # consumer re-reads from registers/VMEM are double-counted —
+                # bytes_accessed is an UPPER bound on HBM traffic. The LOWER
+                # bound is each materialized buffer touched once
+                # (args + outputs + temps from memory_analysis). Real
+                # traffic lies between; both bounds are reported and the
+                # bound classification uses the upper only when it is
+                # physically possible (<=100% of peak).
+                min_bytes = (ma.argument_size_in_bytes
+                             + ma.output_size_in_bytes
+                             + ma.temp_size_in_bytes)
+                d["min_hbm_gbs"] = round(calls * min_bytes / t_s / 1e9, 1)
                 peaks = DEVICE_PEAKS.get(jax.devices()[0].device_kind)
                 if peaks:
                     pf = d["achieved_gflops"] / (peaks["bf16_tflops"] * 1e3)
                     pb = d["achieved_hbm_gbs"] / peaks["hbm_gbs"]
+                    pb_min = d["min_hbm_gbs"] / peaks["hbm_gbs"]
                     d["pct_peak_bf16_flops"] = round(100 * pf, 2)
                     d["pct_peak_hbm_bw"] = round(100 * pb, 2)
+                    d["pct_peak_hbm_bw_lower"] = round(100 * pb_min, 2)
+                    if pb > 1.0:
+                        d["bytes_model_note"] = (
+                            "pre-fusion bytes_accessed exceeds peak BW — "
+                            "over-count; true traffic is between the lower "
+                            "and upper bound")
+                        pb = max(pb_min, 1.0)   # classify on what's possible
                     d["bound"] = ("hbm_bw" if pb >= 3 * pf and pb > 0.1
                                   else "compute" if pf > 0.05
                                   else "dispatch/latency")
@@ -269,6 +296,9 @@ def main():
     # keypress only pays the result fetch ----
     spec_times = []
     speculative_hits = 0
+    spec_attempts = 0
+    spec_miss_times = []
+    spec_miss_kinds = []
     try:
         eng_s = HitLSLAM()
         eng_s.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
@@ -286,6 +316,7 @@ def main():
             eng_s.add_correction_points(mods, sel[0], sel[1])
             eng_s.add_correction_points(mods, sel[2], sel[3])
             time.sleep(0.3)             # the human pause
+            spec_attempts += 1          # every run() consults the cache
             t0 = time.perf_counter()
             rep = eng_s.run()
             if rep.accepted:
@@ -294,6 +325,68 @@ def main():
     except Exception as e:
         import sys; print(f'[bench] speculative pass skipped: {e}', file=sys.stderr)
     interactive_spec_ms = float(np.median(spec_times)) if spec_times else -1.0
+
+    # forced-miss scenarios (VERDICT r4 item 3): stress the speculative
+    # cache instead of assuming the 5/5 scripted hit rate. (a) re-select:
+    # the human changes the selection after the prefetch fired — the stale
+    # dispatch must be discarded and the keypress pays a fresh
+    # dispatch+fetch; (b) drift: the pose state changed identity between
+    # prefetch and keypress (e.g. a background refine landed) — the
+    # bit-identity gate in engine._cycle rejects the reuse. Both paths must
+    # cost ~the cold interactive cycle, never corrupt results (result
+    # identity is asserted in tests/test_end_to_end.py::
+    # test_speculative_dispatch_hit_and_equivalence).
+    try:
+        import dataclasses as _dcs
+
+        eng_m = HitLSLAM()
+        eng_m.init(m.poses, m.covariances, m.point_clouds, m.normal_clouds,
+                   odometry=m.odometry, constraint_capacity=CAPACITY)
+        for kind, s in zip(("reselect", "drift"), specs):
+            try:
+                sel_a = synthesize_correction(
+                    m, s["corrected"], s["anchor"], s["cw"], s["aw"],
+                    corrected_span=s["cspan"], anchor_span=s["aspan"],
+                    poses=eng_m.get_poses(),
+                )
+            except ValueError:
+                continue
+            mods = int(s["ctype"])
+            eng_m.add_correction_points(mods, sel_a[0], sel_a[1])
+            eng_m.add_correction_points(mods, sel_a[2], sel_a[3])
+            time.sleep(0.3)         # prefetch completes during the pause
+            spec_attempts += 1
+            if kind == "reselect":
+                # the human re-drags: nudge the selection by 2 cm — the
+                # keypress arrives before any re-dispatch could complete,
+                # so the pending (stale) dispatch cannot match
+                eng_m.speculate = False
+                eng_m.add_correction_points(mods, sel_a[0] + 0.02,
+                                            sel_a[1] + 0.02)
+                eng_m.add_correction_points(mods, sel_a[2], sel_a[3])
+                eng_m.speculate = True
+            else:
+                # poses changed identity since the prefetch (same values —
+                # the gate is bit-identity of the array handle)
+                eng_m.state = _dcs.replace(
+                    eng_m.state,
+                    poses=_jnp.asarray(np.asarray(eng_m.state.poses)))
+            hits_before = eng_m.speculative_hits
+            t0 = time.perf_counter()
+            rep = eng_m.run()
+            dt = (time.perf_counter() - t0) * 1e3
+            assert eng_m.speculative_hits == hits_before, \
+                f"forced miss ({kind}) reused the stale dispatch"
+            if rep.accepted:
+                spec_miss_times.append(dt)
+                spec_miss_kinds.append(kind)
+    except Exception as e:
+        import sys; print(f'[bench] speculative miss pass skipped: {e}',
+                          file=sys.stderr)
+    spec_miss_ms = (float(np.median(spec_miss_times)) if spec_miss_times
+                    else -1.0)
+    spec_hit_rate = (round(speculative_hits / spec_attempts, 3)
+                     if spec_attempts else -1.0)
 
     # CPU baseline on the final accumulated factor graph
     st = eng.state
@@ -336,12 +429,18 @@ def main():
     # the per-call host<->device round trip ----
     # Extras are budget-gated + exception-guarded: the primary JSON line must
     # print even if a cold remote compile eats the driver's timeout.
-    def extras_ok():
+    def extras_ok(budget_min=20):
         # re-evaluated at EVERY section gate: a cold-cache run must stop
         # starting new multi-minute relay compiles once the budget is
         # spent, or the driver timeout kills the process before the
-        # primary JSON line prints
-        return (time.perf_counter() - t_start) < 20 * 60
+        # primary JSON line prints. Sections run in PRIORITY order
+        # (VERDICT r4 item 1b): the BASELINE.json acceptance configs
+        # (pipelined headline, solve-only, 8192-solve, 32 replicas,
+        # post-optimize + cpu_refine, 16k session) run FIRST with a 25-min
+        # allowance; the EnML-scale / 8192-session extras gate at 20 min —
+        # a cold-cache run degrades the extras, never the acceptance
+        # numbers.
+        return (time.perf_counter() - t_start) < budget_min * 60
     pipelined_ms = big_solve_ms = replica_ms = -1.0
     solve_only_ms = -1.0
     solve_only_list = []
@@ -351,7 +450,7 @@ def main():
     import jax.numpy as jnp
 
     try:
-        if not extras_ok():
+        if not extras_ok(25):
             raise TimeoutError('budget')
         st = eng.state
         # the chain REPLAYS the timed session's ACCEPTED corrections as one
@@ -459,7 +558,7 @@ def main():
         import sys; print(f'[bench] pipelined extras skipped: {e}', file=sys.stderr)
 
     try:
-        if not extras_ok():
+        if not extras_ok(25):
             raise TimeoutError('budget')
         # ---- device SOLVE-ONLY on the CPU bound's exact snapshots ----
         # cpu_optimized times ONLY the joint LM solve (banded Cholesky) per
@@ -521,7 +620,7 @@ def main():
                           file=sys.stderr)
 
     try:
-        if not extras_ok():
+        if not extras_ok(25):
             raise TimeoutError('budget')
         # ---- secondary configs ----
         import jax
@@ -580,6 +679,193 @@ def main():
 
     except Exception as e:
         import sys; print(f'[bench] secondary configs skipped: {e}', file=sys.stderr)
+
+    # ---- post-human STF refinement (the reference's dormant stage, live) --
+    post_opt_ms = post_opt_matches = post_opt_dropped = -1
+    post_opt_match_ms = post_opt_lm_ms = post_opt_lm_iters = -1
+    cpu_refine_ms = cpu_ref_cost = cpu_ref_iters = -1
+    try:
+        if not extras_ok(25):
+            raise TimeoutError('budget')
+        from hitl_slam_tpu.models.hitl.refine import post_human_refine
+        from hitl_slam_tpu.solver.lm import LMConfig as _LMC
+
+        stp = eng.state
+        cfg_refine = _LMC(max_iterations=10)
+        stp_pts_p = stp.points + 1e-6   # timing-trap guard
+        outr = post_human_refine(stp.points, stp.normals, stp.point_mask,
+                                 stp.poses, stp.constraints,
+                                 config=cfg_refine)
+        force_fetch(outr)
+        t0 = time.perf_counter()
+        outr = post_human_refine(stp_pts_p, stp.normals, stp.point_mask,
+                                 stp.poses, stp.constraints,
+                                 config=cfg_refine)
+        force_fetch(outr)
+        post_opt_ms = (time.perf_counter() - t0) * 1e3
+        post_opt_matches = int(np.asarray(outr.num_matches))
+        post_opt_dropped = int(np.asarray(outr.match_dropped))
+        xla_an["refine_1024"] = xla_analyze(
+            post_human_refine, stp.points, stp.normals, stp.point_mask,
+            stp.poses, stp.constraints, config=cfg_refine,
+            measured_ms=post_opt_ms)
+
+        # stage decomposition (VERDICT r2 item 7: prove where the floor is):
+        # time the correspondence half and the LM half as separate programs
+        # — the SAME halves post_human_refine fuses (match_factors_global is
+        # refine.py's own matcher, so the decomposition tracks the headline
+        # by construction). The LM per-iteration cost is dominated by the
+        # dense [3P,3P] Cholesky + triangular solves — a factorization
+        # floor, not matcher or assembly overhead.
+        from hitl_slam_tpu.models.hitl.refine import match_factors_global
+        from hitl_slam_tpu.solver.stf_solve import stf_lm_solve as _stf_lm
+
+        _match_build = _jax.jit(
+            lambda pts, nrm, msk, ps: match_factors_global(
+                pts, nrm, msk, ps, capacity=65536)[0])
+
+        stf_f = _match_build(stp.points, stp.normals, stp.point_mask,
+                             stp.poses)
+        force_fetch(stf_f)
+        t0 = time.perf_counter()
+        stf_f = _match_build(stp_pts_p, stp.normals, stp.point_mask,
+                             stp.poses)
+        force_fetch(stf_f)
+        post_opt_match_ms = (time.perf_counter() - t0) * 1e3
+        # fused_eval=True matches post_human_refine's auto default (the
+        # headline path) so match_ms + lm_ms decomposes the same pipeline
+        outs = _stf_lm(stp.poses, stp.constraints, stf_f, config=cfg_refine,
+                       fused_eval=True)
+        force_fetch(outs)
+        t0 = time.perf_counter()
+        outs = _stf_lm(stp.poses + 1e-6, stp.constraints, stf_f,
+                       config=cfg_refine, fused_eval=True)
+        force_fetch(outs)
+        post_opt_lm_ms = (time.perf_counter() - t0) * 1e3
+        post_opt_lm_iters = int(np.asarray(outs.iterations))
+
+        # optimized-CPU bound for the refine LM (the reference shipped this
+        # stage disabled, so the baseline is our own f64 LAPACK dense LM on
+        # the SAME factors — solve-only, like the other cpu_* baselines)
+        from hitl_slam_tpu.baselines.cpu_refine import (cpu_refine_solve,
+                                                        stf_to_numpy)
+        t0 = time.perf_counter()
+        _, cpu_ref_cost, cpu_ref_iters = cpu_refine_solve(
+            np.asarray(stp.poses), np_table, stf_to_numpy(stf_f),
+            max_iterations=10)
+        cpu_refine_ms = (time.perf_counter() - t0) * 1e3
+    except Exception as e:
+        import sys; print(f'[bench] post-optimize skipped: {e}', file=sys.stderr)
+
+    # ---- BASELINE config #4 acceptance at 2x scale: full multi-correction
+    # session at 16384 poses, 4-lap multi-loop (Freiburg / MIT-Killian
+    # stand-in, VERDICT r4 item 7) with a final-cost parity gate vs the
+    # optimized CPU LM (baselines/cpu_lm.py) on the identical last-cycle
+    # problem. Anchor: JointOptimization.cpp:1064-1138 at 16x the
+    # reference's pose count. ----
+    hitl16k = {}
+    try:
+        if not extras_ok(25) or smoke:
+            raise TimeoutError('budget')
+        P16 = 16384
+        m16 = generate_figure8(num_poses=P16, num_rays=40, seed=17,
+                               drift_theta_bias=8e-6, num_laps=4)
+        from hitl_slam_tpu.core.state import CorrectionType as _CTy16
+
+        lap16 = P16 // 4
+        specs16 = [
+            # lap 4 vs lap 1, bottom wall: the long multi-loop closure
+            (range(3 * lap16 + 300, P16 - 300), range(300, lap16 - 300),
+             (1, 0.0), (1, 0.0)),
+            # lap 3 vs lap 2, left wall
+            (range(2 * lap16 + 200, 3 * lap16 - 200),
+             range(lap16 + 200, 2 * lap16 - 200), (0, -20.0), (0, -20.0)),
+            # lap 4 vs lap 2, right wall
+            (range(3 * lap16 + 200, P16 - 200),
+             range(lap16 + 200, 2 * lap16 - 200), (0, 20.0), (0, 20.0)),
+        ]
+        # warm the 16384-shape fused-cycle compile on a throwaway engine so
+        # the timed session measures execution, not the one-off compile
+        eng_w16 = HitLSLAM()
+        eng_w16.init(m16.poses, m16.covariances, m16.point_clouds,
+                     m16.normal_clouds, constraint_capacity=32768)
+        try:
+            cr, ar, cw, aw = specs16[0]
+            sel_w16 = synthesize_correction(m16, cr, ar, cw, aw,
+                                            min_points=30,
+                                            poses=eng_w16.get_poses())
+            eng_w16.replay_log(SingleInput(_CTy16.COLINEAR, 0, sel_w16))
+        except ValueError:
+            pass
+        eng16 = HitLSLAM()
+        eng16.init(m16.poses, m16.covariances, m16.point_clouds,
+                   m16.normal_clouds, constraint_capacity=32768)
+        times16, snaps16 = [], []
+        for cr, ar, cw, aw in specs16:
+            try:
+                sel16 = synthesize_correction(m16, cr, ar, cw, aw,
+                                              min_points=30,
+                                              poses=eng16.get_poses())
+            except ValueError:
+                continue
+            t0 = time.perf_counter()
+            rep16 = eng16.replay_log(SingleInput(_CTy16.COLINEAR, 0, sel16))
+            if rep16.accepted:
+                times16.append((time.perf_counter() - t0) * 1e3)
+                snaps16.append((
+                    np.asarray(eng16.last_pre_solve_poses, np.float64),
+                    eng16.num_constraints, float(rep16.final_cost)))
+
+        def gt16(poses):
+            a = np.asarray(poses[:, :2], np.float64)
+            b = np.asarray(m16.gt_poses[:, :2], np.float64)
+            return float(np.linalg.norm(a - b, axis=1).mean())
+
+        hitl16k = {
+            "hitl16k_accepted_cycles": len(times16),
+            "hitl16k_cycle_ms": [round(t, 1) for t in times16],
+            "hitl16k_cycle_ms_median": round(float(np.median(times16)), 1)
+            if times16 else -1.0,
+            "hitl16k_constraint_rows": int(eng16.num_constraints),
+            "hitl16k_map_error_vs_gt_m": {
+                "before": round(gt16(m16.poses), 4),
+                "after": round(gt16(eng16.get_poses()), 4),
+            },
+        }
+        # parity gate: the optimized CPU LM (f64 LAPACK banded Cholesky,
+        # the Ceres stand-in) solves the IDENTICAL last-cycle joint problem
+        # from the identical starting poses; the block-tridiagonal Hessian
+        # (human factors are unary) keeps this O(P) even at 16k poses
+        if snaps16:
+            t16 = eng16.state.constraints
+            np_t16 = dict(
+                ctype=np.asarray(t16.ctype),
+                constrained=np.asarray(t16.constrained),
+                anchor=np.asarray(t16.anchor),
+                dpar=np.asarray(t16.delta_parallel),
+                dperp=np.asarray(t16.delta_perpendicular),
+                dth=np.asarray(t16.delta_angle),
+                pen=np.asarray(t16.penalty_dir),
+                active=np.asarray(t16.active),
+            )
+            sp16, n16, dev_cost16 = snaps16[-1]
+            np_t16["active"] = np_t16["active"].copy()
+            np_t16["active"][n16:] = False
+            t0 = time.perf_counter()
+            _, cpu16_cost, cpu16_iters = cpu_lm_solve(sp16, np_t16)
+            cpu16_ms = (time.perf_counter() - t0) * 1e3
+            hitl16k.update({
+                "hitl16k_final_cost": round(dev_cost16, 4),
+                "hitl16k_cpu_final_cost": round(float(cpu16_cost), 4),
+                "hitl16k_cost_parity_rel": round(
+                    abs(dev_cost16 - float(cpu16_cost))
+                    / max(abs(float(cpu16_cost)), 1e-9), 5),
+                "hitl16k_cpu_solve_ms": round(cpu16_ms, 1),
+                "hitl16k_cpu_iters": int(cpu16_iters),
+            })
+    except Exception as e:
+        import sys; print(f'[bench] hitl 16k session skipped: {e}',
+                          file=sys.stderr)
 
     # ---- EnML batch localizer throughput ----
     # realtime factor convention: the reference prints bag-duration /
@@ -906,83 +1192,6 @@ def main():
     except Exception as e:
         import sys; print(f'[bench] hitl 8192 session skipped: {e}', file=sys.stderr)
 
-    # ---- post-human STF refinement (the reference's dormant stage, live) --
-    post_opt_ms = post_opt_matches = post_opt_dropped = -1
-    post_opt_match_ms = post_opt_lm_ms = post_opt_lm_iters = -1
-    cpu_refine_ms = cpu_ref_cost = cpu_ref_iters = -1
-    try:
-        if not extras_ok():
-            raise TimeoutError('budget')
-        from hitl_slam_tpu.models.hitl.refine import post_human_refine
-        from hitl_slam_tpu.solver.lm import LMConfig as _LMC
-
-        stp = eng.state
-        cfg_refine = _LMC(max_iterations=10)
-        stp_pts_p = stp.points + 1e-6   # timing-trap guard
-        outr = post_human_refine(stp.points, stp.normals, stp.point_mask,
-                                 stp.poses, stp.constraints,
-                                 config=cfg_refine)
-        force_fetch(outr)
-        t0 = time.perf_counter()
-        outr = post_human_refine(stp_pts_p, stp.normals, stp.point_mask,
-                                 stp.poses, stp.constraints,
-                                 config=cfg_refine)
-        force_fetch(outr)
-        post_opt_ms = (time.perf_counter() - t0) * 1e3
-        post_opt_matches = int(np.asarray(outr.num_matches))
-        post_opt_dropped = int(np.asarray(outr.match_dropped))
-        xla_an["refine_1024"] = xla_analyze(
-            post_human_refine, stp.points, stp.normals, stp.point_mask,
-            stp.poses, stp.constraints, config=cfg_refine,
-            measured_ms=post_opt_ms)
-
-        # stage decomposition (VERDICT r2 item 7: prove where the floor is):
-        # time the correspondence half and the LM half as separate programs
-        # — the SAME halves post_human_refine fuses (match_factors_global is
-        # refine.py's own matcher, so the decomposition tracks the headline
-        # by construction). The LM per-iteration cost is dominated by the
-        # dense [3P,3P] Cholesky + triangular solves — a factorization
-        # floor, not matcher or assembly overhead.
-        from hitl_slam_tpu.models.hitl.refine import match_factors_global
-        from hitl_slam_tpu.solver.stf_solve import stf_lm_solve as _stf_lm
-
-        _match_build = _jax.jit(
-            lambda pts, nrm, msk, ps: match_factors_global(
-                pts, nrm, msk, ps, capacity=65536)[0])
-
-        stf_f = _match_build(stp.points, stp.normals, stp.point_mask,
-                             stp.poses)
-        force_fetch(stf_f)
-        t0 = time.perf_counter()
-        stf_f = _match_build(stp_pts_p, stp.normals, stp.point_mask,
-                             stp.poses)
-        force_fetch(stf_f)
-        post_opt_match_ms = (time.perf_counter() - t0) * 1e3
-        # fused_eval=True matches post_human_refine's auto default (the
-        # headline path) so match_ms + lm_ms decomposes the same pipeline
-        outs = _stf_lm(stp.poses, stp.constraints, stf_f, config=cfg_refine,
-                       fused_eval=True)
-        force_fetch(outs)
-        t0 = time.perf_counter()
-        outs = _stf_lm(stp.poses + 1e-6, stp.constraints, stf_f,
-                       config=cfg_refine, fused_eval=True)
-        force_fetch(outs)
-        post_opt_lm_ms = (time.perf_counter() - t0) * 1e3
-        post_opt_lm_iters = int(np.asarray(outs.iterations))
-
-        # optimized-CPU bound for the refine LM (the reference shipped this
-        # stage disabled, so the baseline is our own f64 LAPACK dense LM on
-        # the SAME factors — solve-only, like the other cpu_* baselines)
-        from hitl_slam_tpu.baselines.cpu_refine import (cpu_refine_solve,
-                                                        stf_to_numpy)
-        t0 = time.perf_counter()
-        _, cpu_ref_cost, cpu_ref_iters = cpu_refine_solve(
-            np.asarray(stp.poses), np_table, stf_to_numpy(stf_f),
-            max_iterations=10)
-        cpu_refine_ms = (time.perf_counter() - t0) * 1e3
-    except Exception as e:
-        import sys; print(f'[bench] post-optimize skipped: {e}', file=sys.stderr)
-
     # ---- device memory high-water mark + data-loader throughput ----
     # memory_stats() returns None through the relay backend (measured), so
     # the allocator watermark is unavailable; the fallback is XLA's own
@@ -1106,6 +1315,15 @@ def main():
             "interactive_cycle_ms": round(tpu_ms, 2),
             "interactive_speculative_ms": round(interactive_spec_ms, 2),
             "speculative_hits": int(speculative_hits),
+            "speculative_attempts": int(spec_attempts),
+            "speculative_hit_rate": spec_hit_rate,
+            # forced-miss path (VERDICT r4 item 3): stale dispatch discarded
+            # + fresh dispatch+fetch — should match the cold interactive
+            # cycle; per-scenario kinds recorded
+            "speculative_miss_ms": round(spec_miss_ms, 2),
+            "speculative_miss_ms_per_kind": {
+                k: round(t, 2)
+                for k, t in zip(spec_miss_kinds, spec_miss_times)},
             # keypress-to-result latency when the human pause covered the
             # speculative dispatch+prefetch; the device work itself is the
             # pipelined number above
@@ -1131,6 +1349,7 @@ def main():
             "enml_w80_checkerboard_ms": round(enml_w80_ms, 2),
             **enml_scale,
             **hitl8192,
+            **hitl16k,
             "post_optimize_stf_refine_ms": round(post_opt_ms, 2),
             "post_optimize_stf_matches": post_opt_matches,
             "post_optimize_match_dropped": post_opt_dropped,
@@ -1187,7 +1406,74 @@ def main():
                              "colocated production host would not pay",
         },
     }
-    print(json.dumps(result))
+
+    # ---- output (VERDICT r4 item 1a): the driver parses a bounded TAIL of
+    # stdout, and the full detail blob outgrew it in rounds 2-4
+    # (BENCH_r0{2,3,4}.json all have parsed:null). So: the FULL record goes
+    # to BENCH_DETAIL.json (next to this file) and to stderr; stdout gets
+    # ONE COMPACT final JSON line — headline + vs_* + one number per
+    # BASELINE.json config — kept under 1,500 chars by construction (keys
+    # are dropped in reverse-priority order if a pathological metric string
+    # ever pushes it over).
+    import os as _osf
+    import sys as _sysf
+    try:
+        _dp = _osf.path.join(_osf.path.dirname(_osf.path.abspath(__file__)),
+                             "BENCH_DETAIL.json")
+        with open(_dp, "w") as _f:
+            json.dump(result, _f, indent=1)
+    except Exception as e:
+        print(f'[bench] BENCH_DETAIL.json write failed: {e}',
+              file=_sysf.stderr)
+    print(json.dumps(result), file=_sysf.stderr)
+
+    d = result["detail"]
+    compact = {
+        "metric": ("ms per full HitL repair cycle (EM+explicit+backprop+LM),"
+                   f" {headline_kind}, {num_poses} poses / {total_pts} pts"),
+        "value": result["value"],
+        "unit": "ms",
+        "vs_baseline": result["vs_baseline"],
+        "detail": {k: d.get(k, -1) for k in [
+            # headline + serving story (configs #1/#2)
+            "backend", "pipelined_cycle_ms", "interactive_cycle_ms",
+            "interactive_speculative_ms", "speculative_hit_rate",
+            "speculative_miss_ms",
+            "vs_optimized_cpu", "vs_optimized_cpu_interactive",
+            "vs_optimized_cpu_solve_only", "vs_optimized_cpu_speculative",
+            "map_error_vs_gt_m",
+            # config #4: 8192-solve + 16k multi-loop session (parity gate)
+            "solve_8192_poses_20iter_ms",
+            "hitl8192_cycle_ms_median", "post_optimize_8192_pair_ms",
+            "hitl16k_cycle_ms_median", "hitl16k_map_error_vs_gt_m",
+            "hitl16k_cost_parity_rel",
+            # config #5: replica throughput
+            "replica32_batch_20iter_ms", "replica32_throughput_solves_per_s",
+            # post-optimize + its CPU bound
+            "post_optimize_stf_refine_ms", "cpu_refine_solve_ms",
+            "vs_optimized_cpu_refine",
+            # EnML realtime factors (aux pipeline)
+            "enml_checkerboard_realtime_factor",
+            "enml_scale_w80_checkerboard_ms",
+            "enml_scale_w80_realtime_factor",
+            "hbm_peak_mb",
+        ]},
+    }
+    compact["detail"]["full_detail"] = "BENCH_DETAIL.json + stderr"
+    # deterministic size guard: drop least-important keys until it fits the
+    # driver's tail window
+    drop_order = [
+        "hbm_peak_mb", "vs_optimized_cpu_speculative",
+        "enml_checkerboard_realtime_factor", "post_optimize_8192_pair_ms",
+        "hitl8192_cycle_ms_median", "speculative_miss_ms",
+        "speculative_hit_rate", "interactive_speculative_ms",
+        "map_error_vs_gt_m", "hitl16k_map_error_vs_gt_m",
+    ]
+    line = json.dumps(compact)
+    while len(line) > 1500 and drop_order:
+        compact["detail"].pop(drop_order.pop(0), None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,15 @@ def build_parser():
                    help="encoder noise factor for fault injection")
     p.add_argument("--statistical-test", type=int, default=0, metavar="N",
                    help="run N noisy trials and save per-trial poses")
+    p.add_argument("-t", "--test-set", type=int, default=-1, metavar="N",
+                   help="tag this run as test-set index N: APPEND one line "
+                        "of result poses (x,y,theta, ...) to "
+                        "non_markov_test_N.txt next to the output, for "
+                        "offline comparison across runs (the reference's "
+                        "-t flag, vector_mapping_main.cpp:2912-2917, "
+                        "SaveResults :736-744); composes with "
+                        "--statistical-test so a test-set batch is one "
+                        "command")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-history", type=int, default=10)
     p.add_argument("--config", action="append", default=None,
@@ -487,6 +496,16 @@ def _load_stream(args):
 
 
 def main(argv=None) -> int:
+    # native-crash guard (the reference installs a SIGSEGV/SIGABRT backtrace
+    # handler, HitLSLAM_main.cpp:948-951 / shared/util/helpers.h:40-44):
+    # Python tracebacks are free, but a crash inside a ctypes call (native
+    # stfs parser / bag scanner / liblz4) would otherwise die silently
+    import faulthandler
+
+    try:
+        faulthandler.enable()
+    except Exception:
+        pass    # no real stderr fd (e.g. captured streams) — skip the guard
     args = build_parser().parse_args(argv)
     if args.profile:
         from .utils.timing import device_trace
@@ -586,6 +605,20 @@ def _main_impl(args) -> int:
     elif args.domain or args.robot:
         raise SystemExit("ERROR: --domain/--robot require --config")
 
+    def test_set_append(result_poses):
+        # the reference's test-set hook runs inside SaveResults on every
+        # tagged run (vector_mapping_main.cpp:736-744) — appends, so a
+        # --statistical-test batch accumulates one line per trial
+        if args.test_set >= 0:
+            import os as _os
+
+            from .io.stfs import append_test_set_poses
+
+            fp = append_test_set_poses(
+                args.test_set, result_poses,
+                _os.path.dirname(args.output) or ".")
+            print(f"test-set {args.test_set}: appended result poses to {fp}")
+
     def run_once(rel_odom, tag=""):
         t0 = time.perf_counter()
         poses, pcs, ncs, rels = build_episodes(
@@ -594,6 +627,7 @@ def _main_impl(args) -> int:
             poses, pcs, ncs, args.output + tag, map_name=args.map_name,
             options=opts, parallel_windows=args.parallel_windows,
             ltf_segs=ltf_segs)
+        test_set_append(new_poses)
         dt = time.perf_counter() - t0
         before = consistency_metric(poses, pcs)
         after = consistency_metric(new_poses, pcs)
@@ -640,6 +674,7 @@ def _main_impl(args) -> int:
             args.output + ".stfs.covars", args.map_name, 0.0, sess.poses,
             sess.covariances, _clouds(sess), _normals(sess))
         _stfs.save_results_poses(args.output + ".poses", sess.poses)
+        test_set_append(sess.poses)
         before = consistency_metric(poses, pcs)
         after = consistency_metric(sess.poses, pcs)
         print(f"replay: {len(poses)} nodes localized + {n_ok}/{len(reps)} "

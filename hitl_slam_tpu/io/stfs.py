@@ -135,6 +135,25 @@ def save_results_poses(path: str, poses: np.ndarray) -> None:
             f.write(f"{p[0]:f} {p[1]:f} {p[2]:f}\n")
 
 
+def append_test_set_poses(test_set_index: int, poses: np.ndarray,
+                          directory: str = ".") -> str:
+    """APPEND one line of result poses to `non_markov_test_<N>.txt` — the
+    reference's test-set evaluation hook (vector_mapping_main.cpp:736-744
+    inside SaveResults :719): every pose as `x,y,theta, ` (comma-space
+    separated, trailing separator kept), one line per run, append mode so
+    a batch of runs accumulates into one offline-comparison file.
+
+    Returns the file path written."""
+    import os
+
+    path = os.path.join(directory, f"non_markov_test_{test_set_index}.txt")
+    with open(path, "a") as f:
+        for p in poses:
+            f.write(f"{p[0]:f},{p[1]:f},{p[2]:f}, ")
+        f.write("\n")
+    return path
+
+
 def save_stfs(
     path: str,
     map_name: str,

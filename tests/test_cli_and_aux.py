@@ -230,6 +230,71 @@ def test_cli_enml_synthetic(tmp_path, capsys):
     assert len(data.poses) > 10
 
 
+def test_cli_enml_test_set(tmp_path, capsys):
+    """-t/--test-set N appends one result-pose line per tagged run to
+    non_markov_test_N.txt (vector_mapping_main.cpp:736-744,2912-2917) and
+    composes with --statistical-test so a test-set batch is one command."""
+    from hitl_slam_tpu.cli_enml import main as enml_main
+
+    out = str(tmp_path / "enml")
+    rc = enml_main(["--synthetic", "--steps", "96", "-o", out,
+                    "--test-set", "3", "--statistical-test", "2",
+                    "--noise", "0.05"])
+    assert rc == 0
+    tf = tmp_path / "non_markov_test_3.txt"
+    assert tf.exists()
+    lines = tf.read_text().splitlines()
+    assert len(lines) == 2          # one appended line per trial
+    # reference row format: every pose as 'x,y,theta, ' on ONE line
+    first = [v for v in lines[0].split(",") if v.strip()]
+    assert len(first) % 3 == 0 and len(first) >= 30
+    float(first[0]), float(first[-1])
+    # a further tagged run APPENDS (the reference opens with "a")
+    rc = enml_main(["--synthetic", "--steps", "96", "-o", out,
+                    "-t", "3"])
+    assert rc == 0
+    assert len(tf.read_text().splitlines()) == 3
+
+
+def test_cli_faulthandler_enabled(tmp_path):
+    """The CLIs install faulthandler so a native-extension crash (ctypes
+    stfs parser / bag scanner / liblz4) reports a backtrace instead of
+    dying silently (reference: PrintBackTrace on SIGSEGV/SIGABRT,
+    HitLSLAM_main.cpp:948-951). Run in a subprocess: a deliberately
+    corrupt ctypes call must produce a Python-level traceback dump, not
+    an empty stderr."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import faulthandler, ctypes, sys\n"
+        "from hitl_slam_tpu import cli\n"
+        "try:\n"
+        "    cli.main(['-P', 'nonexistent.stfs.covars'])\n"
+        "except SystemExit:\n"
+        "    pass\n"
+        "assert faulthandler.is_enabled(), 'cli.main must enable "
+        "faulthandler'\n"
+        # now crash natively: faulthandler must write a traceback header
+        "ctypes.string_at(0)\n"
+    )
+    import os as _os
+
+    import hitl_slam_tpu as _pkg
+    repo_root = _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(_pkg.__file__)))
+    env = {**_os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo_root}
+    r = subprocess.run([_sys.executable, "-c", code], cwd=str(tmp_path),
+                       capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode != 0
+    assert "Fatal Python error" in r.stderr or "Segmentation" in r.stderr, \
+        r.stderr[-2000:]
+    # the crash report must include the faulthandler stack dump marker
+    assert "Current thread" in r.stderr or "Stack" in r.stderr, \
+        r.stderr[-2000:]
+
+
 def test_cli_ltvm(session_files, tmp_path):
     from hitl_slam_tpu.cli_ltvm import main as ltvm_main
 
