@@ -10,15 +10,23 @@ Parallelism analysis (this is deliberate, not a limitation):
     (ops/residuals.py) sharded over the SAME pose axis: per-iteration human
     work is O(P/d) local math with NO pose all_gather — identical to the
     single-chip architecture invariant (no [C]-row work inside the LM loop).
-  - The assembled block-tridiagonal system is only 21 floats per pose, so it
-    is all-gathered (KBs over ICI) and the cyclic-reduction solve runs
-    redundantly on every device: far cheaper than a distributed SPIKE solve
-    at these sizes, and exactly the "replicate the tiny solve, shard the
-    heavy sweeps" recipe. The heavy O(P*N) point sweeps elsewhere in the
-    pipeline (EM scans, world transforms, rendering, correspondence search)
-    shard cleanly over the same axis.
-  - Total per-iteration communication: one ppermute ([3] floats) + one
-    all_gather of (D, U, g) + two scalar psums (cost, xnorm).
+  - The assembled block-tridiagonal system is SOLVED DISTRIBUTED via a
+    SPIKE partition (VERDICT r4 item 4; replaces the r3 design that
+    all-gathered the full (D, U, g) — 21 floats/pose — every iteration):
+    each shard BCR-solves its LOCAL [Pl]-block tridiagonal chunk against 7
+    right-hand sides (the gradient + 3+3 identity columns injected at its
+    first/last rows), reduces to a 6-floats-per-boundary coupling system of
+    size 6*d (d = shard count), all-gathers ONLY those 42 floats per shard,
+    solves the tiny reduced system redundantly on every device, and
+    back-substitutes locally. Per-iteration gathered bytes drop from O(P)
+    to O(d) — the ICI volume no longer grows with the pose axis. The heavy
+    O(P*N) point sweeps elsewhere in the pipeline (EM scans, world
+    transforms, rendering, correspondence search) shard over the same axis.
+  - Total per-iteration communication: two ppermutes ([3]+[3,3] halo
+    floats) + one all_gather of the [42]-float reduced coefficients per
+    shard + scalar psums (cost, xnorm, step norm, pred) — tested as a
+    counted quantity in tests/test_parallel.py (collective-volume check
+    over the jaxpr).
 
 Iteration structure mirrors solver/lm.py exactly: (D, U, g) ride the loop
 state and are re-assembled only at ACCEPTED trial points — a rejected step
@@ -159,6 +167,79 @@ def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
     def lm_local(poses_l, odom_l, ch):
         Pl = poses_l.shape[0]
         my = lax.axis_index(axis)
+        d = lax.axis_size(axis)
+        eye3 = jnp.eye(3, dtype=dtype)
+        fwd = [(i, (i + 1) % d) for i in range(d)]   # send to next shard
+
+        def spike_solve(Dd_l, U_l, g_l):
+            """Distributed block-tridiagonal solve of the damped system.
+
+            Dd_l [Pl,3,3] damped+gauge-fixed local diagonal blocks,
+            U_l [Pl,3,3] local upper couplings (row Pl-1 couples to the next
+            shard's first pose; zero on the last shard by the factor
+            validity mask), g_l [Pl,3] local gradient. Returns the local
+            step [Pl,3] of the GLOBAL system solve.
+
+            SPIKE partition: x_s = Y_s - V_s @ b_{s-1} - W_s @ t_{s+1}
+            where Y = T^-1 b (T = the local interior block-tridiagonal),
+            V = (T^-1 E_first) @ L, W = (T^-1 E_last) @ R, and the
+            shard-boundary unknowns t_s = x_s[0], b_s = x_s[-1] satisfy a
+            6*d reduced system assembled from 42 all-gathered floats per
+            shard."""
+            R = U_l[-1]                              # [3,3] to next shard
+            # left coupling = previous shard's interface block, transposed
+            Rprev = lax.ppermute(U_l[-1:], axis, fwd)[0]
+            lmask = (my > 0).astype(dtype)
+            L = jnp.swapaxes(Rprev, -1, -2) * lmask
+            # 7 RHS: gradient + identity columns at the first and last rows
+            E0 = jnp.zeros((Pl, 3, 3), dtype).at[0].set(eye3)
+            El = jnp.zeros((Pl, 3, 3), dtype).at[-1].set(eye3)
+            RHS = jnp.concatenate([(-g_l)[:, :, None], E0, El], axis=2)
+            sol = jax.vmap(lambda bb: bcr_solve(Dd_l, U_l[:-1], bb),
+                           in_axes=2, out_axes=2)(RHS)     # [Pl,3,7]
+            Y = sol[:, :, 0]                               # [Pl,3]
+            V = sol[:, :, 1:4] @ L                         # [Pl,3,3]
+            W = sol[:, :, 4:7] @ R                         # [Pl,3,3]
+            # reduced coefficients: only the first/last rows couple shards
+            coef_l = jnp.concatenate([
+                V[0].ravel(), V[-1].ravel(), W[0].ravel(), W[-1].ravel(),
+                Y[0], Y[-1],
+            ])                                             # [42]
+            coef = lax.all_gather(coef_l, axis)            # [d, 42]
+            V0g = coef[:, 0:9].reshape(d, 3, 3)
+            Vlg = coef[:, 9:18].reshape(d, 3, 3)
+            W0g = coef[:, 18:27].reshape(d, 3, 3)
+            Wlg = coef[:, 27:36].reshape(d, 3, 3)
+            Y0g = coef[:, 36:39]
+            Ylg = coef[:, 39:42]
+            # assemble the [6d, 6d] reduced system over u = [t_0, b_0,
+            # t_1, b_1, ...] (d is a static mesh constant — Python loop
+            # unrolls at trace time; boundary couplings are already zero
+            # blocks via the masks above)
+            M = jnp.eye(6 * d, dtype=dtype)
+            rhs_r = jnp.zeros((6 * d,), dtype)
+            for s in range(d):
+                t_r, b_r = 6 * s, 6 * s + 3
+                rhs_r = rhs_r.at[t_r:t_r + 3].set(Y0g[s])
+                rhs_r = rhs_r.at[b_r:b_r + 3].set(Ylg[s])
+                if s > 0:
+                    pb = 6 * (s - 1) + 3
+                    M = M.at[t_r:t_r + 3, pb:pb + 3].add(V0g[s])
+                    M = M.at[b_r:b_r + 3, pb:pb + 3].add(Vlg[s])
+                if s < d - 1:
+                    nt = 6 * (s + 1)
+                    M = M.at[t_r:t_r + 3, nt:nt + 3].add(W0g[s])
+                    M = M.at[b_r:b_r + 3, nt:nt + 3].add(Wlg[s])
+            u = jnp.linalg.solve(M, rhs_r)                 # replicated
+            # back-substitute: this shard needs b_{s-1} and t_{s+1}
+            up = jnp.concatenate([u, jnp.zeros((6,), dtype)])
+            b_prev = lax.dynamic_slice_in_dim(
+                up, ((my - 1) * 6 + 3) * (my > 0), 3) * lmask
+            nmask = (my < d - 1).astype(dtype)
+            t_next = lax.dynamic_slice_in_dim(
+                up, jnp.minimum((my + 1) * 6, 6 * d), 3) * nmask
+            return (Y - (V @ b_prev[:, None])[..., 0]
+                    - (W @ t_next[:, None])[..., 0])
 
         def local_assemble(x_l):
             """Local (D_l, U_l, g_l) + GLOBAL cost at x_l: odometry with a
@@ -175,25 +256,23 @@ def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
 
         def body(state):
             x_l, D_l, U_l, g_l, mu, nu, c, it, done = state
-            D = lax.all_gather(D_l, axis, tiled=True)
-            U = lax.all_gather(U_l, axis, tiled=True)[: P_total - 1]
-            g = lax.all_gather(g_l, axis, tiled=True)
-            # gauge fix pose 0
-            D = D.at[0].set(jnp.eye(3, dtype=dtype))
-            U = U.at[0].set(0.0)
-            g = g.at[0].set(0.0)
+            # gauge fix pose 0 — global row 0 lives on shard 0's local row 0
+            gfix = my == 0
+            Dg_l = jnp.where(gfix, D_l.at[0].set(eye3), D_l)
+            Ug_l = jnp.where(gfix, U_l.at[0].set(0.0), U_l)
+            gg_l = jnp.where(gfix, g_l.at[0].set(0.0), g_l)
 
-            diag = jnp.clip(jnp.diagonal(D, axis1=-2, axis2=-1),
-                            config.min_diagonal, config.max_diagonal)
-            D_damped = D + mu * jax.vmap(jnp.diag)(diag)
-            step = bcr_solve(D_damped, U, -g)
-            step_l = lax.dynamic_slice_in_dim(step, my * Pl, Pl, axis=0)
-            x_new_l = x_l + step_l
-            Dn_l, Un_l, gn_l, c_new = local_assemble(x_new_l)
             # use the same CLIPPED diag as the damping term, matching
             # solver/lm.py — otherwise rho diverges from the single-chip
             # path whenever the clip binds
-            pred = 0.5 * jnp.sum(step * (mu * diag * step - g))
+            diag_l = jnp.clip(jnp.diagonal(Dg_l, axis1=-2, axis2=-1),
+                              config.min_diagonal, config.max_diagonal)
+            Dd_l = Dg_l + mu * jax.vmap(jnp.diag)(diag_l)
+            step_l = spike_solve(Dd_l, Ug_l, gg_l)
+            x_new_l = x_l + step_l
+            Dn_l, Un_l, gn_l, c_new = local_assemble(x_new_l)
+            pred = 0.5 * lax.psum(
+                jnp.sum(step_l * (mu * diag_l * step_l - gg_l)), axis)
             rho = (c - c_new) / jnp.maximum(pred, 1e-30)
             accept = (rho > 0) & jnp.isfinite(c_new)
             x_l = jnp.where(accept, x_new_l, x_l)
@@ -206,8 +285,9 @@ def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
             nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
             fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
             xnorm = jnp.sqrt(lax.psum(jnp.sum(x_l * x_l), axis))
+            snorm = jnp.sqrt(lax.psum(jnp.sum(step_l * step_l), axis))
             sdone = accept & (
-                jnp.linalg.norm(step)
+                snorm
                 <= config.parameter_tolerance
                 * (xnorm + config.parameter_tolerance)
             )

@@ -64,6 +64,65 @@ def test_sharded_lm_matches_single_chip(rng):
     )
 
 
+def _walk_collectives(jaxpr, out):
+    """Recursively collect (primitive_name, output_shape) for every
+    collective in a jaxpr, descending into while/cond/shard_map/pjit
+    sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in ("all_gather", "ppermute", "psum",
+                                  "all_to_all", "reduce_scatter"):
+            out.append((eqn.primitive.name,
+                        tuple(eqn.outvars[0].aval.shape)))
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for x in vs:
+                sub = getattr(x, "jaxpr", None)
+                if sub is not None and hasattr(sub, "eqns"):
+                    _walk_collectives(sub, out)
+                elif hasattr(x, "eqns"):
+                    _walk_collectives(x, out)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_lm_collective_volume(rng):
+    """Communication is a TESTED quantity (VERDICT r4 item 4): the SPIKE
+    partition must gather O(shards) bytes per LM iteration — never the
+    O(P) (D, U, g) all_gather of the r3 design. Counted from the jaxpr."""
+    from hitl_slam_tpu.parallel.sharded_solver import (_pad_factors,
+                                                       _sharded_lm_fn)
+
+    n = 256                       # big enough that O(P) wouldn't hide
+    d = 8
+    poses = jnp.asarray(_chain_poses(rng, n))
+    table = _table(poses, rng)
+    prob = J.build_problem(poses, table)
+    mesh = make_mesh(n_replica=1, n_pose=d)
+    cfg = LMConfig(max_iterations=10)
+    fn = _sharded_lm_fn(mesh, cfg, n, "float32")
+    padded = _pad_factors(prob.odom, n)
+    jaxpr = jax.make_jaxpr(fn)(poses, padded, prob.compact)
+    cols = []
+    _walk_collectives(jaxpr.jaxpr, cols)
+    gathers = [s for name, s in cols if name == "all_gather"]
+    assert gathers, "expected at least one all_gather (reduced system)"
+    for shape in gathers:
+        size = int(np.prod(shape))
+        # O(shards): the reduced-coefficient gather is [d, 42]; anything
+        # within 64 floats/shard passes. O(P) would be >= n*9 = 2304.
+        assert size <= d * 64, (
+            f"all_gather of {shape} ({size} floats) scales beyond "
+            f"O(shards) — the O(P) gather pattern is back")
+    permutes = [s for name, s in cols if name == "ppermute"]
+    # halo exchanges only: [1,3] pose halo + [1,3,3] interface-block halo
+    # (+ the assembly carries); each is O(1) per shard
+    for shape in permutes:
+        assert int(np.prod(shape)) <= 16, shape
+    # and the whole program still solves correctly
+    got = fn(poses, padded, prob.compact)
+    ref = solve_jit(prob, poses, cfg)
+    assert float(got[1]) <= float(ref.final_cost) * 1.05 + 1e-4
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_lm_2d_mesh(rng):
     """'pose' axis of a 2D (replica x pose) mesh."""
