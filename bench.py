@@ -619,10 +619,14 @@ def main():
         import sys; print(f'[bench] solve-only extras skipped: {e}',
                           file=sys.stderr)
 
+    # ---- secondary configs: (a) and (b) are SEPARATE try-blocks so a
+    # failure in one cannot zero the other's BASELINE-config evidence
+    # (r5 finding: the Pallas-BCR scoped-vmem compile failure at P=8192
+    # took the replica config down with it in the shared block) ----
+    cfg20 = None
     try:
         if not extras_ok(25):
             raise TimeoutError('budget')
-        # ---- secondary configs ----
         import jax
         import jax.numpy as jnp
 
@@ -662,6 +666,18 @@ def main():
         xla_an["solve_8192"] = xla_analyze(
             solve_jit, prob_big, jnp.asarray(chain), cfg20,
             measured_ms=big_solve_ms)
+    except Exception as e:
+        import sys; print(f'[bench] 8192-solve config skipped: {e}',
+                          file=sys.stderr)
+
+    try:
+        if not extras_ok(25):
+            raise TimeoutError('budget')
+        import jax.numpy as jnp
+
+        if cfg20 is None:
+            from hitl_slam_tpu.solver.lm import LMConfig
+            cfg20 = LMConfig(max_iterations=20)
 
         # (b) BASELINE config #5: 32 perturbed replicas via vmap
         from hitl_slam_tpu.parallel.replicas import batched_solve, make_perturbed_replicas
@@ -678,7 +694,7 @@ def main():
         replica_ms = (time.perf_counter() - t0) * 1e3
 
     except Exception as e:
-        import sys; print(f'[bench] secondary configs skipped: {e}', file=sys.stderr)
+        import sys; print(f'[bench] replica config skipped: {e}', file=sys.stderr)
 
     # ---- post-human STF refinement (the reference's dormant stage, live) --
     post_opt_ms = post_opt_matches = post_opt_dropped = -1

@@ -35,6 +35,11 @@ from jax import lax
 from .joint import JointProblem, normal_equations
 from .tridiag import bcr_solve
 
+# largest pose count the single-launch Pallas BCR kernel can compile for on
+# this target: its scoped-vmem stack is linear in next_pow2(P) and measures
+# 22.99 MB at P=8192 vs the 16 MB limit (see solve() docstring)
+_PALLAS_BCR_MAX_POSES = 4096
+
 Array = jax.Array
 
 
@@ -88,11 +93,20 @@ def solve(
         numerically weaker than the adjugate arithmetic and stalls the
         damping loop.
     Escape hatch: HITL_NO_PALLAS_BCR=1 restores the XLA BCR on TPU.
+
+    Size gate (r5): the whole-solve kernel keeps every elimination level's
+    full-width temporaries in VMEM; Mosaic's scoped-vmem stack measures
+    22.99 MB at m=8192 against this target's 16 MB limit (remote-compile
+    failure observed round 5 — it silently zeroed every >4096-pose TPU
+    surface in the round-4 driver bench). Linear in m, so m=4096 fits with
+    ~4.5 MB headroom; above the gate the XLA-op BCR (identical algebra,
+    measured 59-73 ms for the 8192-pose 20-iter solve) takes over.
     """
     if linear_solver is None:
         import os
 
         if (jax.default_backend() == "tpu"
+                and poses0.shape[0] <= _PALLAS_BCR_MAX_POSES
                 and not os.environ.get("HITL_NO_PALLAS_BCR")):
             from .pallas_bcr import bcr_solve_pallas
 
