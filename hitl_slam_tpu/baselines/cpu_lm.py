@@ -187,21 +187,32 @@ def cpu_lm_solve(
         c_new = cost_res(trial)[0]
         pred = 0.5 * np.sum(step * (mu * diag * step - g))
         rho = (c - c_new) / max(pred, 1e-30)
+        # termination semantics mirror solver/lm.py exactly (DEVIATIONS #22):
+        # relative function decrease on accepted steps; relative step size
+        # on EVERY iteration (rejected steps included — a rejected tiny step
+        # means the damped system already moves x by noise); trust-region
+        # collapse. Same parameter_tolerance (1e-7) as LMConfig. The r4
+        # device-side rejected-step rule was not mirrored here at first and
+        # the f32-vs-f64 session test caught the divergence (round 5).
+        ptol = 1e-7
         if rho > 0 and np.isfinite(c_new):
             converged = abs(c - c_new) <= function_tolerance * c
-            step_small = np.linalg.norm(step) <= 1e-8 * (
-                np.linalg.norm(poses) + 1e-8
-            )
             poses = trial
             c, D, U, g = assemble(poses)
             mu *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
             nu = 2.0
+            step_small = np.linalg.norm(step) <= ptol * (
+                np.linalg.norm(poses) + ptol
+            )
             if converged or step_small:
                 break
         else:
             mu *= nu
             nu *= 2
-            if mu >= 1e10:
+            step_small = np.linalg.norm(step) <= ptol * (
+                np.linalg.norm(poses) + ptol
+            )
+            if step_small or mu >= 1e10:
                 break
     return poses, c, it
 

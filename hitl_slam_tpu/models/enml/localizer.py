@@ -149,6 +149,11 @@ def _window_gn(
     w_pin: Array | None = None,  # [W] bool — poses to pin (besides pose 0)
     eval_only: bool = False,  # skip GN: one match + one Hessian evaluation
     ltf_segs: Array | None = None,  # [S, 4] world vector map -> LTF factors
+    need_hessian: bool = True,  # False: skip the final-Hessian evaluation
+                                # (checkerboard solve passes discard it and
+                                # extract covariances in a separate
+                                # eval_only tiling — one system() call per
+                                # match round saved)
 ):
     """`match_rounds` x (window NN match -> gn_iterations damped GN steps on
     the dense [3W,3W] window system); pose 0 of the window fixed.
@@ -271,24 +276,17 @@ def _window_gn(
             b1x, b1y = vm * tnwx, vm * tnwy
             b1t = vm * (dtn_dp + tnw_dtp)
 
-            # dense [3W, 3W] assembly
+            # odometry-chain assembly in BLOCK form (no scatters: diagonal
+            # contributions are shifted concats, the tridiagonal couplings
+            # land on Hb's first off-diagonals via a static eye mask below)
             n3 = 3 * W
-            H = jnp.zeros((n3, n3), poses.dtype)
             g = jnp.zeros((W, 3), poses.dtype)
-            r3 = jnp.arange(3)
-
-            def scat(H, bi, bj, blk):
-                rows = (3 * bi)[:, None, None] + r3[None, :, None]
-                cols = (3 * bj)[:, None, None] + r3[None, None, :]
-                return H.at[rows, cols].add(blk)
-
-            i = jnp.arange(W - 1)
             J1T = jnp.swapaxes(J1, -1, -2)
             J2T = jnp.swapaxes(J2, -1, -2)
-            H = scat(H, i, i, J1T @ J1)
-            H = scat(H, i + 1, i + 1, J2T @ J2)
-            H = scat(H, i, i + 1, J1T @ J2)
-            H = scat(H, i + 1, i, J2T @ J1)
+            z1 = jnp.zeros((1, 3, 3), poses.dtype)
+            diag_odo = (jnp.concatenate([J1T @ J1, z1], 0)
+                        + jnp.concatenate([z1, J2T @ J2], 0))   # [W, 3, 3]
+            U_odo = jnp.concatenate([J1T @ J2, z1], 0)          # [W, 3, 3]
             g = g.at[:-1].add((J1T @ r_o[..., None])[..., 0])
             g = g.at[1:].add((J2T @ r_o[..., None])[..., 0])
 
@@ -350,8 +348,15 @@ def _window_gn(
             Cst = jnp.einsum("inj,ink->ijk", oh_t.reshape(W, N, W),
                              X2.reshape(W, N, 9)).reshape(W, W, 3, 3)
             Hb = Cst + jnp.transpose(Cst, (1, 0, 3, 2))      # + (t,s) term
-            Hb = Hb.at[wi, wi].add(D_st)                     # unique indices
-            H = H + jnp.transpose(Hb, (0, 2, 1, 3)).reshape(n3, n3)
+            # diagonal + odometry tridiagonal placed with static eye masks:
+            # dense [W, W, 3, 3] broadcast-adds, no scatter ops at all
+            eyeW = jnp.eye(W, dtype=poses.dtype)
+            upW = jnp.eye(W, k=1, dtype=poses.dtype)
+            Hb = (Hb + eyeW[:, :, None, None] * (D_st + diag_odo)[:, None]
+                  + upW[:, :, None, None] * U_odo[:, None]
+                  + upW.T[:, :, None, None]
+                  * jnp.swapaxes(U_odo, -1, -2)[None, :])
+            H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(n3, n3)
             # gradient: j0^T (r0, r1) and j1^T (r0, r1), scalar form
             ga = jnp.stack([a[p] * r0 + a1[p] * r1 for p in range(3)], -1)
             gb = jnp.stack([b[p] * r0 + b1_[p] * r1 for p in range(3)], -1)
@@ -369,7 +374,13 @@ def _window_gn(
             H, g = system(poses)
             diag = jnp.clip(jnp.diagonal(H), 1e-6, 1e32)
             Hd = H + o.damping * jnp.diag(diag)
-            step = jnp.linalg.solve(Hd, -g).reshape(W, 3)
+            # Hd is SPD by construction (GN normal matrix + positive damping
+            # + identity rows for pinned poses): Cholesky + two triangular
+            # solves, measured 0.76 vs 1.37 ms per [8, 240, 240] batch for
+            # the LU path on v5e (scripts/r5_tpu_measure2.py) — same
+            # motivation as the joint solver's r2 finding at [3072, 3072]
+            step = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(Hd), True), -g).reshape(W, 3)
             return poses + step
 
         # unrolled by default: nested sequential lax loops don't pipeline
@@ -380,15 +391,21 @@ def _window_gn(
         else:
             poses = lax.fori_loop(0, n_iter, lambda _i, p: gn_step(p),
                                   poses, unroll=o.gn_unroll)
+        if not want_hessian:
+            return poses, jnp.eye(3 * W, dtype=poses.dtype)
         H_final, _ = system(poses)
         return poses, H_final
 
+    want_hessian = True   # read by gn_round at call time (closure)
     if eval_only:
         return gn_round((w_poses, None), None, n_iter=0)
 
     H = jnp.eye(3 * W, dtype=w_poses.dtype)
     poses = w_poses
-    for _ in range(o.match_rounds):
+    for rnd in range(o.match_rounds):
+        # intermediate rounds' final Hessians are never read — evaluate one
+        # only for the last round, and only when the caller wants it
+        want_hessian = need_hessian and rnd == o.match_rounds - 1
         poses, H = gn_round((poses, H), None)
     return poses, H
 

@@ -244,6 +244,10 @@ def checkerboard_localize(
             w_poses, w_pts, w_nrm, w_mask, w_axis, w_d, w_rot, w_isig,
             w_chain_valid, o, match_fn=match_fn, w_pin=~active,
             eval_only=eval_only,
+            # the solve passes discard H (half_pass ignores it; covariances
+            # come from the separate eval_only tiling at FINAL estimates) —
+            # skip the final-Hessian system() evaluation there
+            need_hessian=eval_only,
         )
         new_poses = jnp.where(active[:, None], new_poses, w_poses)
         return new_poses, H, idx, active

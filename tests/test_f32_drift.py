@@ -64,14 +64,35 @@ def test_session_f32_vs_f64_divergence_4096_poses():
                      dth=np.asarray(t.delta_angle)[act],
                      pen=np.asarray(t.penalty_dir)[act],
                      active=np.ones(int(act.sum()), bool))
-        f64_poses, _cost, _it = cpu_lm_solve(pre, table)
+        f64_poses, f64_cost, _it = cpu_lm_solve(pre, table)
         got = np.asarray(eng.get_poses())
         dxy = np.linalg.norm(got[:, :2] - f64_poses[:, :2], axis=1)
         dth = np.abs(np.arctan2(np.sin(got[:, 2] - f64_poses[:, 2]),
                                 np.cos(got[:, 2] - f64_poses[:, 2])))
-        # measured worst case 3.0e-5 m / 2.2e-6 rad at 12,288 rows
-        assert dxy.max() < 5e-4, (accepted, float(dxy.max()))
-        assert dth.max() < 5e-5, (accepted, float(dth.max()))
+        # Two bounds, mirroring the acceptance criterion (BASELINE.md:
+        # matched final cost):
+        # 1. COST PARITY — the device's answer, evaluated under the f64
+        #    mirror's own cost, must match the mirror's optimum. Measured
+        #    worst case 5.6e-5 relative (correction 3).
+        # 2. POSE proximity — loose: since the r4 rejected-step termination
+        #    (DEVIATIONS #22) the two solvers stop at different points of
+        #    the same flat valley (measured 2.0e-3 m at 12k rows with cost
+        #    parity intact; pre-r4 identical-trajectory worst case was
+        #    3.0e-5 m). A genuinely wrong solve breaks both bounds.
+        from hitl_slam_tpu.baselines import cpu_lm as c64
+
+        ax64, d64, rot64 = c64.build_odometry_factors_np(pre)
+        hidx, hM, ht = c64.build_human_factors_np(pre, table)
+        isg = (1.0 / 0.03, 1.0 / 0.03, 1.0 / 0.01)
+        r_o = c64.odometry_residuals_jacobians_np(
+            ax64, d64, rot64, got.astype(np.float64), isg)[0]
+        r_h = np.einsum("cij,cj->ci", hM,
+                        ht - got.astype(np.float64)[hidx])
+        dev_cost = 0.5 * (np.sum(r_o**2) + np.sum(r_h**2))
+        assert dev_cost - f64_cost <= max(2e-4 * f64_cost, 1e-8), (
+            accepted, float(dev_cost), float(f64_cost))
+        assert dxy.max() < 5e-3, (accepted, float(dxy.max()))
+        assert dth.max() < 5e-4, (accepted, float(dth.max()))
     assert accepted >= 3   # the divergence bound covers a real session
 
 
