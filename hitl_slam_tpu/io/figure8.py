@@ -242,9 +242,17 @@ def synthesize_correction(
         raise ValueError(
             f"not enough wall points: {len(late)}, {len(early)}"
         )
-    return np.concatenate(
-        [fit_clicked_segment(late), fit_clicked_segment(early)], axis=0
-    )
+    seg_c = fit_clicked_segment(late)
+    seg_a = fit_clicked_segment(early)
+    # a human sketches the same wall twice in the same stroke direction;
+    # fit_clicked_segment's positive-x canonicalization is noise-conditioned
+    # for near-vertical walls (its x-component is ~0), and an accidental
+    # anti-parallel pair commands a ~180-degree rotation (caught at 16k
+    # scale, round 5: one flipped left-wall anchor turned a 0.29 m map into
+    # a 13.8 m one). Orient the anchor stroke along the corrected stroke.
+    if float(np.dot(seg_c[1] - seg_c[0], seg_a[1] - seg_a[0])) < 0.0:
+        seg_a = seg_a[::-1].copy()
+    return np.concatenate([seg_c, seg_a], axis=0)
 
 
 def _raycast_ranges(pose, walls, num_rays, max_range, fov):
