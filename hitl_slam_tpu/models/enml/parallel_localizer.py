@@ -270,14 +270,19 @@ def checkerboard_localize(
             out = jax.vmap(lambda s: solve_one(s, poses))(starts_p)
             new_poses, H, idx, active = out
             return (new_poses[:B], H[:B], idx[:B], active[:B])
-        Bpad = -(-B // chunk) * chunk
+        # clamp the vmap width to the real window count: padding windows
+        # cost as much as real ones (fully-masked solves), so a 2-window
+        # parity under chunk=8 would waste 3/4 of the pass (measured r5:
+        # the 129-node W=80 sweep ran as slow as the 1078-node one)
+        ck = max(min(chunk, B), 1)
+        Bpad = -(-B // ck) * ck
         starts_p = jnp.concatenate(
             [starts, jnp.full((Bpad - B,), P + W, starts.dtype)])
 
         def run_chunk(chunk_starts):
             return jax.vmap(lambda s: solve_one(s, poses))(chunk_starts)
 
-        out = lax.map(run_chunk, starts_p.reshape(-1, chunk))
+        out = lax.map(run_chunk, starts_p.reshape(-1, ck))
         new_poses, H, idx, active = jax.tree_util.tree_map(
             lambda a: a.reshape((Bpad,) + a.shape[2:]), out)
         return (new_poses[:B], H[:B], idx[:B], active[:B])
@@ -325,7 +330,8 @@ def checkerboard_localize(
     # ceil(W/2)) overwrites exactly those rows (review finding r3) ----
     def eval_tiling(starts_np):
         B = starts_np.shape[0]
-        Bpad = -(-B // chunk) * chunk
+        ck = max(min(chunk, B), 1)
+        Bpad = -(-B // ck) * ck
         starts_p = jnp.concatenate(
             [starts_np, jnp.full((Bpad - B,), P + W, starts_np.dtype)])
 
@@ -341,7 +347,7 @@ def checkerboard_localize(
 
         covs, idxs, actives = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]),
-            lax.map(run_chunk, starts_p.reshape(-1, chunk)))  # [Bpad, W, ..]
+            lax.map(run_chunk, starts_p.reshape(-1, ck)))   # [Bpad, W, ..]
         # padding windows carry active=False throughout, so their rows land
         # in the dump slot below — no explicit trimming needed
         return (covs.reshape(-1, 3, 3), idxs.reshape(-1),
