@@ -955,11 +955,19 @@ def main():
         out80 = checkerboard_localize(est.points, est.normals,
                                       est.point_mask, est.poses, w80, chunk=8)
         force_fetch(out80)
-        t0 = time.perf_counter()
-        out80 = checkerboard_localize(est.points + 1e-6, est.normals,
-                                      est.point_mask, est.poses, w80, chunk=8)
-        force_fetch(out80)
-        enml_w80_ms = (time.perf_counter() - t0) * 1e3
+        # min-of-2: the first post-warmup execution of this program runs
+        # ~4x slower than steady state (measured r5: 665 then 173 ms —
+        # first-touch/autotune effects through the relay), and a single
+        # sample always lands on it
+        w80_samples = []
+        for k in range(2):
+            t0 = time.perf_counter()
+            out80 = checkerboard_localize(est.points + 1e-6 * (k + 1),
+                                          est.normals, est.point_mask,
+                                          est.poses, w80, chunk=8)
+            force_fetch(out80)
+            w80_samples.append((time.perf_counter() - t0) * 1e3)
+        enml_w80_ms = min(w80_samples)
     except Exception as e:
         import sys; print(f'[bench] enml W=80 skipped: {e}', file=sys.stderr)
 
@@ -1013,12 +1021,15 @@ def main():
                                       est_l.point_mask, est_l.poses, w80_l,
                                       chunk=8)
         force_fetch(out_w)
-        t0 = time.perf_counter()
-        out_w = checkerboard_localize(estl_pts_p, est_l.normals,
-                                      est_l.point_mask, est_l.poses, w80_l,
-                                      chunk=8)
-        force_fetch(out_w)
-        w80_ms = (time.perf_counter() - t0) * 1e3
+        w80_l_samples = []
+        for k in range(2):   # min-of-2: first post-warmup execution is slow
+            t0 = time.perf_counter()
+            out_w = checkerboard_localize(
+                est_l.points + 1e-6 * (k + 1), est_l.normals,
+                est_l.point_mask, est_l.poses, w80_l, chunk=8)
+            force_fetch(out_w)
+            w80_l_samples.append((time.perf_counter() - t0) * 1e3)
+        w80_ms = min(w80_l_samples)
         xla_an["enml_scale_checkerboard"] = xla_analyze(
             checkerboard_localize, est_l.points, est_l.normals,
             est_l.point_mask, est_l.poses, eopts, chunk=16,
