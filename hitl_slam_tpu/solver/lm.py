@@ -40,6 +40,20 @@ from .tridiag import bcr_solve
 # 22.99 MB at P=8192 vs the 16 MB limit (see solve() docstring)
 _PALLAS_BCR_MAX_POSES = 4096
 
+
+def _default_linear_solver(backend: str, num_poses: int):
+    """Default block-tridiagonal solver selection (unit-tested so the vmem
+    gate cannot silently regress): the single-launch Pallas kernel on TPU
+    up to _PALLAS_BCR_MAX_POSES, the XLA-op BCR everywhere else."""
+    import os
+
+    if (backend == "tpu" and num_poses <= _PALLAS_BCR_MAX_POSES
+            and not os.environ.get("HITL_NO_PALLAS_BCR")):
+        from .pallas_bcr import bcr_solve_pallas
+
+        return bcr_solve_pallas
+    return bcr_solve
+
 Array = jax.Array
 
 
@@ -103,16 +117,8 @@ def solve(
     measured 59-73 ms for the 8192-pose 20-iter solve) takes over.
     """
     if linear_solver is None:
-        import os
-
-        if (jax.default_backend() == "tpu"
-                and poses0.shape[0] <= _PALLAS_BCR_MAX_POSES
-                and not os.environ.get("HITL_NO_PALLAS_BCR")):
-            from .pallas_bcr import bcr_solve_pallas
-
-            linear_solver = bcr_solve_pallas
-        else:
-            linear_solver = bcr_solve
+        linear_solver = _default_linear_solver(jax.default_backend(),
+                                               poses0.shape[0])
     dtype = poses0.dtype
     if use_soa:
         # SoA assembly: identical math in lane-major scalar form — avoids the

@@ -294,3 +294,27 @@ def test_lm_with_pallas_bcr_solver(rng):
                                float(ref.final_cost), rtol=1e-4, atol=1e-8)
     np.testing.assert_allclose(np.asarray(got.poses), np.asarray(ref.poses),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_default_solver_vmem_gate(monkeypatch):
+    """The Pallas whole-solve kernel exceeds this target's 16 MB scoped-vmem
+    limit above 4096 poses (measured 22.99 MB at P=8192, round 5 — the
+    failure silently zeroed every large-pose TPU surface in the round-4
+    driver bench). The default-solver selection must route large pose
+    counts to the XLA-op BCR and honor the escape hatch."""
+    from hitl_slam_tpu.solver.lm import (_PALLAS_BCR_MAX_POSES,
+                                         _default_linear_solver)
+    from hitl_slam_tpu.solver.pallas_bcr import bcr_solve_pallas
+    from hitl_slam_tpu.solver.tridiag import bcr_solve
+
+    monkeypatch.delenv("HITL_NO_PALLAS_BCR", raising=False)
+    assert _default_linear_solver("tpu", 1024) is bcr_solve_pallas
+    assert _default_linear_solver("tpu", _PALLAS_BCR_MAX_POSES) \
+        is bcr_solve_pallas
+    assert _default_linear_solver("tpu", _PALLAS_BCR_MAX_POSES + 1) \
+        is bcr_solve
+    assert _default_linear_solver("tpu", 8192) is bcr_solve
+    assert _default_linear_solver("tpu", 16384) is bcr_solve
+    assert _default_linear_solver("cpu", 64) is bcr_solve
+    monkeypatch.setenv("HITL_NO_PALLAS_BCR", "1")
+    assert _default_linear_solver("tpu", 1024) is bcr_solve
