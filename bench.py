@@ -168,10 +168,18 @@ def main():
                             "pre-fusion bytes_accessed exceeds peak BW — "
                             "over-count; true traffic is between the lower "
                             "and upper bound")
-                        pb = max(pb_min, 1.0)   # classify on what's possible
-                    d["bound"] = ("hbm_bw" if pb >= 3 * pf and pb > 0.1
-                                  else "compute" if pf > 0.05
-                                  else "dispatch/latency")
+                        # the upper bound is impossible and the lower bound
+                        # misses rematerialized intermediates: unless the
+                        # LOWER bound alone already proves bandwidth-bound,
+                        # the boundedness is genuinely indeterminate — say
+                        # so instead of substituting a flattering number
+                        d["bound"] = ("hbm_bw" if pb_min >= 0.5
+                                      else "compute" if pf > 0.05
+                                      else "indeterminate (bytes over-count)")
+                    else:
+                        d["bound"] = ("hbm_bw" if pb >= 3 * pf and pb > 0.1
+                                      else "compute" if pf > 0.05
+                                      else "dispatch/latency")
             return d
         except Exception as e:
             print(f'[bench] xla_analyze skipped: {e}', file=sys.stderr)
@@ -355,7 +363,6 @@ def main():
             eng_m.add_correction_points(mods, sel_a[0], sel_a[1])
             eng_m.add_correction_points(mods, sel_a[2], sel_a[3])
             time.sleep(0.3)         # prefetch completes during the pause
-            spec_attempts += 1
             if kind == "reselect":
                 # the human re-drags: nudge the selection by 2 cm — the
                 # keypress arrives before any re-dispatch could complete,
@@ -385,6 +392,10 @@ def main():
                           file=sys.stderr)
     spec_miss_ms = (float(np.median(spec_miss_times)) if spec_miss_times
                     else -1.0)
+    # hit rate over the NATURAL scripted workload only; the forced-miss
+    # stress scenarios above are by construction misses and are reported
+    # separately (speculative_miss_*) — folding them in made a perfect
+    # cache read 0.71 and look like a regression from r3's 5/5
     spec_hit_rate = (round(speculative_hits / spec_attempts, 3)
                      if spec_attempts else -1.0)
 

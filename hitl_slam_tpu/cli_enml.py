@@ -496,16 +496,9 @@ def _load_stream(args):
 
 
 def main(argv=None) -> int:
-    # native-crash guard (the reference installs a SIGSEGV/SIGABRT backtrace
-    # handler, HitLSLAM_main.cpp:948-951 / shared/util/helpers.h:40-44):
-    # Python tracebacks are free, but a crash inside a ctypes call (native
-    # stfs parser / bag scanner / liblz4) would otherwise die silently
-    import faulthandler
+    from .utils.timing import install_crash_guard
 
-    try:
-        faulthandler.enable()
-    except Exception:
-        pass    # no real stderr fd (e.g. captured streams) — skip the guard
+    install_crash_guard()
     args = build_parser().parse_args(argv)
     if args.profile:
         from .utils.timing import device_trace

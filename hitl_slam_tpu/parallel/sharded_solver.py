@@ -230,7 +230,13 @@ def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
                     nt = 6 * (s + 1)
                     M = M.at[t_r:t_r + 3, nt:nt + 3].add(W0g[s])
                     M = M.at[b_r:b_r + 3, nt:nt + 3].add(Wlg[s])
+            # this target's LU is numerically weak (CLAUDE.md) and the
+            # [6d, 6d] reduced matrix is nonsymmetric (no Cholesky/BCR
+            # form), so polish the replicated solve with one step of
+            # iterative refinement — an extra [6d,6d] solve of the
+            # residual, trivially cheap at mesh sizes
             u = jnp.linalg.solve(M, rhs_r)                 # replicated
+            u = u + jnp.linalg.solve(M, rhs_r - M @ u)
             # back-substitute: this shard needs b_{s-1} and t_{s+1}
             up = jnp.concatenate([u, jnp.zeros((6,), dtype)])
             b_prev = lax.dynamic_slice_in_dim(
@@ -286,7 +292,10 @@ def _sharded_lm_fn(mesh: Mesh, config: LMConfig, P_total: int,
             fdone = accept & (jnp.abs(c - c_new) <= config.function_tolerance * c)
             xnorm = jnp.sqrt(lax.psum(jnp.sum(x_l * x_l), axis))
             snorm = jnp.sqrt(lax.psum(jnp.sum(step_l * step_l), axis))
-            sdone = accept & (
+            # like solver/lm.py, the step-size check applies to REJECTED
+            # steps too (DEVIATIONS #22) — keeping the two solvers'
+            # termination rules identical is what makes them comparable
+            sdone = (
                 snorm
                 <= config.parameter_tolerance
                 * (xnorm + config.parameter_tolerance)

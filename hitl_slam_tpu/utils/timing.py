@@ -78,3 +78,17 @@ def device_trace(label: str, enabled: bool = False, logdir: str = "/tmp/jax-trac
     with jax.profiler.trace(logdir):
         with jax.profiler.TraceAnnotation(label):
             yield
+
+
+def install_crash_guard():
+    """Native-crash backtrace guard for CLI entry points (the reference
+    installs a SIGSEGV/SIGABRT handler, HitLSLAM_main.cpp:948-951 /
+    shared/util/helpers.h:40-44): Python tracebacks are free, but a crash
+    inside a ctypes call (native stfs parser / bag scanner / liblz4) would
+    otherwise die silently."""
+    import faulthandler
+
+    try:
+        faulthandler.enable()
+    except Exception:
+        pass    # no real stderr fd (e.g. captured streams) — skip the guard

@@ -99,7 +99,6 @@ def main():
         scans_l, angles_l, rel_l, EpisodeOptions(clip_low=10, clip_high=10))
     est = make_map_state(lp, np.zeros((len(lp), 3, 3), np.float32), lpcs, lncs)
     print(f"nodes={est.num_poses} padded_n={est.points.shape[1]}", flush=True)
-    pts_p = est.points + 1e-6
     stream_s = ns * SCAN_PERIOD_S
 
     for label, opts, chunk in (

@@ -36,9 +36,38 @@ _TOK = re.compile(r"""
 """, re.VERBOSE)
 
 
+def _strip_comments(src):
+    """Remove // and /* */ comments WITHOUT touching string literals (a
+    blind regex corrupts any string containing '//', e.g. a ws:// URL)."""
+    out, i, n = [], 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in "'\"`":
+            q, j = c, i + 1
+            while j < n:
+                if src[j] == "\\":
+                    j += 2
+                    continue
+                if src[j] == q:
+                    j += 1
+                    break
+                j += 1
+            out.append(src[i:j])
+            i = j
+        elif c == "/" and i + 1 < n and src[i + 1] == "/":
+            while i < n and src[i] != "\n":
+                i += 1
+        elif c == "/" and i + 1 < n and src[i + 1] == "*":
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def tokenize(src):
-    src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
-    src = re.sub(r"//[^\n]*", "", src)
+    src = _strip_comments(src)
     out, pos = [], 0
     while pos < len(src):
         m = _TOK.match(src, pos)
