@@ -290,3 +290,24 @@ def test_checkerboard_match_capacity_probe(small_episode_state):
     dense = jnp.zeros_like(st.points)
     assert int(probe_match_capacity(
         dense, st.normals, st.point_mask, st.poses, o)) > 0
+
+
+def test_checkerboard_chunk_clamp_equivalence(small_episode_state):
+    """A chunk wider than the parity's window count must produce the same
+    sweep as a fitting chunk (the clamp only removes padding-window work —
+    r5: unclamped, a 2-window parity under chunk=8 computed 6 fully-masked
+    window solves per pass at full cost)."""
+    from hitl_slam_tpu.models.enml.localizer import EnmlOptions
+    from hitl_slam_tpu.models.enml.parallel_localizer import (
+        checkerboard_localize)
+
+    st, poses0, pcs = small_episode_state
+    o = EnmlOptions(gn_iterations=4, match_rounds=1)
+    p_small, c_small = checkerboard_localize(
+        st.points, st.normals, st.point_mask, st.poses, o, chunk=2)
+    p_wide, c_wide = checkerboard_localize(
+        st.points, st.normals, st.point_mask, st.poses, o, chunk=64)
+    np.testing.assert_allclose(np.asarray(p_wide), np.asarray(p_small),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_wide), np.asarray(c_small),
+                               atol=1e-4)
