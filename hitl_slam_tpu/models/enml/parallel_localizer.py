@@ -219,21 +219,29 @@ def checkerboard_localize(
         n_win = -(-(P - first) // W) if P > first else 0
         return first + W * jnp.arange(max(n_win, 1)), max(n_win, 1)
 
-    def solve_one(start, poses, eval_only=False):
-        """One window GN solve; returns (new window poses [W,3], H).
-
-        eval_only: no GN iterations — just the window Hessian at `poses`
-        (one fresh match + one assembly), for covariance extraction."""
+    def _window_data(start, poses):
+        """Gather one window's tensors (shared by matching and GN)."""
         w_poses, idx = _gather_windows(poses, start[None], W, P - 1)
         w_poses, idx = w_poses[0], idx[0]
         active = idx < P
         w_pts = points[jnp.clip(idx, 0, P - 1)]
         w_nrm = normals[jnp.clip(idx, 0, P - 1)]
         w_mask = point_mask[jnp.clip(idx, 0, P - 1)] & active[:, None]
+        return w_poses, idx, active, w_pts, w_nrm, w_mask
+
+    def _chain_slices(idx):
         cidx = jnp.clip(idx[:-1], 0, P - 2)
-        w_axis, w_d, w_rot, w_isig = (axis[cidx], d[cidx], rot[cidx],
-                                      isig[cidx])
-        w_chain_valid = (idx[:-1] < P - 1).astype(dtype)
+        return (axis[cidx], d[cidx], rot[cidx], isig[cidx],
+                (idx[:-1] < P - 1).astype(dtype))
+
+    def solve_one(start, poses, eval_only=False):
+        """One window GN solve; returns (new window poses [W,3], H).
+
+        eval_only: no GN iterations — just the window Hessian at `poses`
+        (one fresh match + one assembly), for covariance extraction."""
+        w_poses, idx, active, w_pts, w_nrm, w_mask = _window_data(start,
+                                                                  poses)
+        w_axis, w_d, w_rot, w_isig, w_chain_valid = _chain_slices(idx)
 
         match_fn = None
         if use_grid:
@@ -251,6 +259,74 @@ def checkerboard_localize(
         )
         new_poses = jnp.where(active[:, None], new_poses, w_poses)
         return new_poses, H, idx, active
+
+    # ---- split match/GN chunk driver (grid-matcher configs) -------------
+    # A vmapped grid match costs ~3.5x its sequential (lax.map) form per
+    # window (the batched [ck, cells, bucket, 5*bucket] gated-distance
+    # tiles thrash HBM; measured r5: 7.5 vs 2.16 ms/window at W=80,
+    # N=256), while the GN steps batch WELL (1.75 ms per 8-window batch).
+    # So each match round runs its window matches SEQUENTIALLY via lax.map
+    # and feeds the precomputed (tgt, valid) into one BATCHED GN call —
+    # the same math _window_gn would do with its own matcher, restructured
+    # for the hardware. W=80/1078-node sweep: 1642 (r4) -> 1190 -> ~740 ms.
+    import dataclasses as _dc
+
+    o_one_round = _dc.replace(o, match_rounds=1)
+
+    def _match_chunk(w_pts, w_nrm, w_mask, w_poses):
+        """Sequential per-window grid matches over a chunk."""
+        def match_one(args):
+            pts_i, nrm_i, mask_i, poses_i = args
+            mf = _make_match_fn(pts_i.reshape(W * N, 2),
+                                nrm_i.reshape(W * N, 2),
+                                mask_i.reshape(W * N), W, N, o)
+            return mf(poses_i)
+
+        return lax.map(match_one, (w_pts, w_nrm, w_mask, w_poses))
+
+    def solve_chunk_split(chunk_starts, poses):
+        data = jax.vmap(lambda s: _window_data(s, poses))(chunk_starts)
+        w_poses0, idx, active, w_pts, w_nrm, w_mask = data
+        chain = jax.vmap(_chain_slices)(idx)
+
+        wp = w_poses0
+        for _rnd in range(o.match_rounds):
+            tgt, valid = _match_chunk(w_pts, w_nrm, w_mask, wp)
+
+            def gn_one(wposes_i, pts_i, nrm_i, mask_i, ax_i, d_i, rot_i,
+                       isig_i, cv_i, act_i, tgt_i, valid_i):
+                return _window_gn(
+                    wposes_i, pts_i, nrm_i, mask_i, ax_i, d_i, rot_i,
+                    isig_i, cv_i, o_one_round,
+                    match_fn=lambda _p: (tgt_i, valid_i),
+                    w_pin=~act_i, need_hessian=False)[0]
+
+            wp = jax.vmap(gn_one)(wp, w_pts, w_nrm, w_mask, *chain, active,
+                                  tgt, valid)
+        wp = jnp.where(active[..., None], wp, w_poses0)
+        H = jnp.broadcast_to(jnp.eye(3 * W, dtype=dtype),
+                             (wp.shape[0], 3 * W, 3 * W))
+        return wp, H, idx, active
+
+    def eval_chunk_split(chunk_starts, poses):
+        """Split form of the eval_only covariance pass: sequential matches
+        at the FINAL poses + one batched Hessian evaluation."""
+        data = jax.vmap(lambda s: _window_data(s, poses))(chunk_starts)
+        w_poses0, idx, active, w_pts, w_nrm, w_mask = data
+        chain = jax.vmap(_chain_slices)(idx)
+        tgt, valid = _match_chunk(w_pts, w_nrm, w_mask, w_poses0)
+
+        def eval_one(wposes_i, pts_i, nrm_i, mask_i, ax_i, d_i, rot_i,
+                     isig_i, cv_i, act_i, tgt_i, valid_i):
+            np_, H = _window_gn(
+                wposes_i, pts_i, nrm_i, mask_i, ax_i, d_i, rot_i, isig_i,
+                cv_i, o_one_round, match_fn=lambda _p: (tgt_i, valid_i),
+                w_pin=~act_i, eval_only=True)
+            return np_, H
+
+        np_, H = jax.vmap(eval_one)(w_poses0, w_pts, w_nrm, w_mask, *chain,
+                                    active, tgt, valid)
+        return np_, H, idx, active
 
     def solve_parity_chunked(starts, poses):
         B = starts.shape[0]
@@ -280,6 +356,8 @@ def checkerboard_localize(
             [starts, jnp.full((Bpad - B,), P + W, starts.dtype)])
 
         def run_chunk(chunk_starts):
+            if use_grid:
+                return solve_chunk_split(chunk_starts, poses)
             return jax.vmap(lambda s: solve_one(s, poses))(chunk_starts)
 
         out = lax.map(run_chunk, starts_p.reshape(-1, ck))
@@ -336,12 +414,18 @@ def checkerboard_localize(
             [starts_np, jnp.full((Bpad - B,), P + W, starts_np.dtype)])
 
         def run_chunk(chunk_starts):
-            def one(s):
-                _np_, H, idx, active = solve_one(s, poses, eval_only=True)
+            def finish(_np_, H, idx, active):
                 covs = window_covariances(H, active, _np_[:, 2])
                 # the pinned window-first pose's block is NOT a marginal
                 pinned = jnp.arange(W) == 0
                 return covs, idx, active & ~pinned
+
+            if use_grid:
+                np_, H, idx, active = eval_chunk_split(chunk_starts, poses)
+                return jax.vmap(finish)(np_, H, idx, active)
+
+            def one(s):
+                return finish(*solve_one(s, poses, eval_only=True))
 
             return jax.vmap(one)(chunk_starts)
 
