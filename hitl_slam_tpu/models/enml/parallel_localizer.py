@@ -37,6 +37,7 @@ estimate is strictly fresher.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -268,10 +269,9 @@ def checkerboard_localize(
     # So each match round runs its window matches SEQUENTIALLY via lax.map
     # and feeds the precomputed (tgt, valid) into one BATCHED GN call —
     # the same math _window_gn would do with its own matcher, restructured
-    # for the hardware. W=80/1078-node sweep: 1642 (r4) -> 1190 -> ~740 ms.
-    import dataclasses as _dc
-
-    o_one_round = _dc.replace(o, match_rounds=1)
+    # for the hardware. W=80/1078-node sweep at 1078 nodes: 1642 (r4) ->
+    # 1190 -> 981 ms / 132x realtime (BENCH_LOCAL_r5.json).
+    o_one_round = dataclasses.replace(o, match_rounds=1)
 
     def _match_chunk(w_pts, w_nrm, w_mask, w_poses):
         """Sequential per-window grid matches over a chunk."""
@@ -284,10 +284,14 @@ def checkerboard_localize(
 
         return lax.map(match_one, (w_pts, w_nrm, w_mask, w_poses))
 
-    def solve_chunk_split(chunk_starts, poses):
+    def _chunk_data(chunk_starts, poses):
         data = jax.vmap(lambda s: _window_data(s, poses))(chunk_starts)
+        chain = jax.vmap(_chain_slices)(data[1])
+        return data, chain
+
+    def solve_chunk_split(chunk_starts, poses):
+        data, chain = _chunk_data(chunk_starts, poses)
         w_poses0, idx, active, w_pts, w_nrm, w_mask = data
-        chain = jax.vmap(_chain_slices)(idx)
 
         wp = w_poses0
         for _rnd in range(o.match_rounds):
@@ -311,9 +315,8 @@ def checkerboard_localize(
     def eval_chunk_split(chunk_starts, poses):
         """Split form of the eval_only covariance pass: sequential matches
         at the FINAL poses + one batched Hessian evaluation."""
-        data = jax.vmap(lambda s: _window_data(s, poses))(chunk_starts)
+        data, chain = _chunk_data(chunk_starts, poses)
         w_poses0, idx, active, w_pts, w_nrm, w_mask = data
-        chain = jax.vmap(_chain_slices)(idx)
         tgt, valid = _match_chunk(w_pts, w_nrm, w_mask, w_poses0)
 
         def eval_one(wposes_i, pts_i, nrm_i, mask_i, ax_i, d_i, rot_i,
@@ -333,7 +336,12 @@ def checkerboard_localize(
         if mesh is not None:
             # multi-chip: one vmap over ALL windows, batch axis sharded over
             # the mesh's first axis — GSPMD runs each device's window slice
-            # locally (poses/points replicate; they are small)
+            # locally (poses/points replicate; they are small).
+            # NOTE: this branch keeps the vmapped in-solve matcher rather
+            # than the sequential-match split below — a global lax.map
+            # would serialize matches ACROSS devices; the per-device split
+            # needs a shard_map restructure (future work, see the split
+            # driver's comment for the measured single-chip motivation)
             from jax.sharding import NamedSharding, PartitionSpec
 
             nd = int(mesh.shape[mesh.axis_names[0]])

@@ -13,7 +13,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/r5_tpu_measure4.py
 import os
 import sys
 import time
-from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -243,14 +243,22 @@ def test_checkerboard_grid_matcher_path(small_episode_state):
 
     st, poses0, pcs = small_episode_state
     o = EnmlOptions(gn_iterations=6, match_rounds=1)
-    pb, _ = checkerboard_localize(st.points, st.normals, st.point_mask,
-                                  st.poses, o, n_passes=1)
-    pg, _ = checkerboard_localize(st.points, st.normals, st.point_mask,
-                                  st.poses, o, n_passes=1, force_grid=True)
+    pb, cb = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                   st.poses, o, n_passes=1)
+    pg, cg = checkerboard_localize(st.points, st.normals, st.point_mask,
+                                   st.poses, o, n_passes=1, force_grid=True)
     pb, pg = np.asarray(pb), np.asarray(pg)
     assert np.isfinite(pg).all()
     # grid matcher finds (nearly) the same NNs as the brute matcher
     assert np.abs(pb - pg).max() < 0.05, np.abs(pb - pg).max()
+    # the grid path's SPLIT covariance pass (sequential matches + batched
+    # Hessian eval, r5) must agree with the brute path's marginals —
+    # covers eval_chunk_split numerically, not just for shape
+    cb, cg = np.asarray(cb), np.asarray(cg)
+    assert np.isfinite(cg).all()
+    scale = np.maximum(np.abs(cb).max(axis=(1, 2), keepdims=True), 1e-9)
+    assert (np.abs(cg - cb) / scale).max() < 0.2, \
+        (np.abs(cg - cb) / scale).max()
 
 
 def test_gn_unroll_matches_full_unroll(small_episode_state):
@@ -303,11 +311,14 @@ def test_checkerboard_chunk_clamp_equivalence(small_episode_state):
 
     st, poses0, pcs = small_episode_state
     o = EnmlOptions(gn_iterations=4, match_rounds=1)
-    p_small, c_small = checkerboard_localize(
-        st.points, st.normals, st.point_mask, st.poses, o, chunk=2)
-    p_wide, c_wide = checkerboard_localize(
-        st.points, st.normals, st.point_mask, st.poses, o, chunk=64)
-    np.testing.assert_allclose(np.asarray(p_wide), np.asarray(p_small),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(c_wide), np.asarray(c_small),
-                               atol=1e-4)
+    for fg in (False, True):   # brute AND split-grid chunk drivers
+        p_small, c_small = checkerboard_localize(
+            st.points, st.normals, st.point_mask, st.poses, o, chunk=2,
+            force_grid=fg)
+        p_wide, c_wide = checkerboard_localize(
+            st.points, st.normals, st.point_mask, st.poses, o, chunk=64,
+            force_grid=fg)
+        np.testing.assert_allclose(np.asarray(p_wide), np.asarray(p_small),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_wide), np.asarray(c_small),
+                                   atol=1e-4)
